@@ -1,0 +1,142 @@
+"""Batched Baumberg–Lindeberg iterative affine shape adaptation.
+
+TPU-native redesign of /root/reference/affine.cpp:35-100: the reference
+adapts one keypoint at a time with early-exit control flow; here a whole
+level's keypoints run as one vmapped, masked 16-iteration loop.  Each
+iteration warps a smm_window^2 patch from the *previous* blur level (the
+prevBlur callback quirk, pyramid.cpp:203), accumulates the second-moment
+matrix under the folded Gaussian mask, applies the det-normalized inverse
+square root, and checks the reference's exact divergence/convergence
+rules:
+
+  * complex eigenvalues of U          -> drop (affine.cpp:85-86)
+  * anisotropy l1/l2 > 6 either way   -> drop (affine.cpp:89-90)
+  * 1 - l2/l1 < 0.05 twice in a row   -> converged (affine.cpp:92-97)
+  * 16 iterations without converging  -> drop (affine.cpp:99)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hesaff_tpu.config import HesaffConfig
+from hesaff_tpu.ops import masks
+from hesaff_tpu.ops.linalg import eigenvalues_2x2, inv_sqrt_2x2
+from hesaff_tpu.ops.warp import affine_sample
+
+
+class AffineResult(NamedTuple):
+    ok: jnp.ndarray    # (K,) bool — converged
+    u11: jnp.ndarray   # (K,) shape matrix U (det == 1)
+    u12: jnp.ndarray
+    u21: jnp.ndarray
+    u22: jnp.ndarray
+    iters: jnp.ndarray  # (K,) int32 — iteration index at convergence
+
+
+def _window_gradient(img: jnp.ndarray):
+    """Central differences, one-sided at window edges (affine.cpp:14-33).
+
+    Note: central differences are NOT halved (matches the reference).
+    """
+    gx = jnp.concatenate(
+        [
+            (img[:, 1:2] - img[:, 0:1]),
+            img[:, 2:] - img[:, :-2],
+            (img[:, -1:] - img[:, -2:-1]),
+        ],
+        axis=1,
+    )
+    gy = jnp.concatenate(
+        [
+            (img[1:2, :] - img[0:1, :]),
+            img[2:, :] - img[:-2, :],
+            (img[-1:, :] - img[-2:-1, :]),
+        ],
+        axis=0,
+    )
+    return gx, gy
+
+
+def _adapt_one(blur, x, y, s, pixel_distance, cfg: HesaffConfig, mask):
+    """Masked 16-iteration adaptation for a single keypoint."""
+    win = cfg.smm_window_size
+    mask_pixels = float(win * win)
+    lx = x / pixel_distance
+    ly = y / pixel_distance
+    ratio = s / (cfg.initial_sigma * pixel_distance)
+
+    u11 = jnp.float32(1.0)
+    u12 = jnp.float32(0.0)
+    u21 = jnp.float32(0.0)
+    u22 = jnp.float32(1.0)
+    ratio_bef = jnp.float32(0.0)
+    alive = jnp.bool_(True)
+    converged = jnp.bool_(False)
+    conv_iter = jnp.int32(0)
+
+    def body(l, state):
+        u11, u12, u21, u22, ratio_bef, alive, converged, conv_iter = state
+        img, _ = affine_sample(
+            blur, win, win, lx, ly,
+            u11 * ratio, u12 * ratio, u21 * ratio, u22 * ratio,
+        )
+        gx, gy = _window_gradient(img)
+        a = jnp.sum(gx * gx * mask) / mask_pixels
+        b = jnp.sum(gx * gy * mask) / mask_pixels
+        c = jnp.sum(gy * gy * mask) / mask_pixels
+
+        ia, ib, ic, il1, il2 = inv_sqrt_2x2(a, b, c)
+        ratio_act = 1.0 - il2 / il1
+
+        n11 = ia * u11 + ib * u21
+        n12 = ia * u12 + ib * u22
+        n21 = ib * u11 + ic * u21
+        n22 = ib * u12 + ic * u22
+
+        l1, l2, is_real = eigenvalues_2x2(n11, n12, n21, n22)
+        aniso_bad = (~is_real) | (l1 / l2 > cfg.anisotropy_max) | (
+            l2 / l1 > cfg.anisotropy_max
+        )
+        just_conv = (
+            (ratio_act < cfg.convergence_threshold)
+            & (ratio_bef < cfg.convergence_threshold)
+            & ~aniso_bad
+        )
+
+        upd = alive
+        u11 = jnp.where(upd, n11, u11)
+        u12 = jnp.where(upd, n12, u12)
+        u21 = jnp.where(upd, n21, u21)
+        u22 = jnp.where(upd, n22, u22)
+        ratio_bef = jnp.where(upd, ratio_act, ratio_bef)
+        conv_iter = jnp.where(alive & just_conv, l, conv_iter)
+        converged = converged | (alive & just_conv)
+        alive = alive & ~aniso_bad & ~just_conv
+        return (u11, u12, u21, u22, ratio_bef, alive, converged, conv_iter)
+
+    state = (u11, u12, u21, u22, ratio_bef, alive, converged, conv_iter)
+    state = jax.lax.fori_loop(0, cfg.max_iterations, body, state)
+    u11, u12, u21, u22, _, _, converged, conv_iter = state
+    return AffineResult(
+        ok=converged, u11=u11, u12=u12, u21=u21, u22=u22, iters=conv_iter
+    )
+
+
+def adapt_level(blur: jnp.ndarray, x, y, s, pixel_distance: float,
+                cfg: HesaffConfig) -> AffineResult:
+    """Batched adaptation of a level's keypoints against its prevBlur.
+
+    blur: (H, W) — the blur level BELOW the detection level
+    (the prevBlur quirk, /root/reference/pyramid.cpp:203).
+    x, y, s: (K,) keypoint arrays in image coordinates.
+    """
+    mask = jnp.asarray(masks.smm_gauss_mask(cfg.smm_window_size))
+    pd = jnp.float32(pixel_distance)
+    return jax.vmap(
+        lambda xx, yy, ss: _adapt_one(blur, xx, yy, ss, pd, cfg, mask)
+    )(x, y, s)

@@ -1,0 +1,288 @@
+"""DoH extrema detection: thresholded 3x3x3 NMS, batched sub-pixel
+localization, and octave-map deduplication.
+
+TPU-native redesign of /root/reference/pyramid.cpp:122-222.  The reference
+scans pixels serially and localizes each candidate with data-dependent
+control flow; here every level produces a dense candidate mask, candidates
+compact into a fixed-capacity array (raster order preserved — the dedup
+semantics depend on it), and localization runs as a batched, masked,
+bounded loop (5 iterations, pyramid.cpp:132).
+
+The reference's octaveMap (pyramid.cpp:189-193) marks the *final* localized
+cell of each accepted keypoint, first-come-first-marked in scan order
+(level-major, then raster).  That sequential dedup is reproduced exactly
+with a stable sort by final cell: within a cell, the earliest scan-order
+candidate survives.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from hesaff_tpu.config import HesaffConfig
+from hesaff_tpu.ops.linalg import solve3x3
+
+HESSIAN_DARK = 0
+HESSIAN_BRIGHT = 1
+HESSIAN_SADDLE = 2
+
+
+class LevelKeypoints(NamedTuple):
+    """Fixed-capacity localized keypoints for one detection level."""
+
+    ok: jnp.ndarray        # (K,) bool — accepted (pre-dedup or post-dedup)
+    x: jnp.ndarray         # (K,) image-coords (already * pixelDistance)
+    y: jnp.ndarray
+    s: jnp.ndarray         # (K,) scale (already * pixelDistance)
+    response: jnp.ndarray  # (K,) peak DoH value
+    type: jnp.ndarray      # (K,) int32 point type
+    r_final: jnp.ndarray   # (K,) final integer row (octave grid, for dedup)
+    c_final: jnp.ndarray   # (K,) final integer col
+    order: jnp.ndarray     # (K,) scan-order rank within the level
+    overflow: jnp.ndarray  # () int32 — candidates dropped by capacity
+
+
+def _nbhd_max(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3 windowed max with edge replication (edges unused: border >= 5)."""
+    p = jnp.pad(x, 1, mode="edge")
+    m = x
+    for dr in range(3):
+        for dc in range(3):
+            if dr == 1 and dc == 1:
+                continue
+            m = jnp.maximum(m, p[dr : dr + x.shape[0], dc : dc + x.shape[1]])
+    return m
+
+
+def _nbhd_min(x: jnp.ndarray) -> jnp.ndarray:
+    p = jnp.pad(x, 1, mode="edge")
+    m = x
+    for dr in range(3):
+        for dc in range(3):
+            if dr == 1 and dc == 1:
+                continue
+            m = jnp.minimum(m, p[dr : dr + x.shape[0], dc : dc + x.shape[1]])
+    return m
+
+
+def candidate_mask(low, cur, high, cfg: HesaffConfig) -> jnp.ndarray:
+    """Thresholded 3x3x3 strict NMS (pyramid.cpp:206-222, isMax/isMin 39-61).
+
+    "Strict" in the reference sense: a candidate survives unless some
+    neighbour is strictly greater (ties pass), i.e. val == windowed max.
+    """
+    H, W = cur.shape
+    mx = jnp.maximum(jnp.maximum(_nbhd_max(low), _nbhd_max(cur)), _nbhd_max(high))
+    mn = jnp.minimum(jnp.minimum(_nbhd_min(low), _nbhd_min(cur)), _nbhd_min(high))
+    pos = (cur > cfg.positive_threshold) & (cur >= mx)
+    neg = (cur < cfg.negative_threshold) & (cur <= mn)
+    mask = pos | neg
+    b = cfg.border
+    keep = jnp.zeros_like(mask)
+    keep = keep.at[b : H - b, b : W - b].set(True)
+    return mask & keep
+
+
+def compact_candidates(mask: jnp.ndarray, capacity: int):
+    """Raster-order indices of set pixels, padded to `capacity`.
+
+    Returns (rows, cols, valid, overflow_count).  jnp.nonzero's row-major
+    order matches the reference's r-then-c scan (pyramid.cpp:211-213),
+    which the dedup pass depends on.
+    """
+    n = jnp.sum(mask.astype(jnp.int32))
+    rows, cols = jnp.nonzero(mask, size=capacity, fill_value=0)
+    valid = jnp.arange(capacity) < n
+    overflow = jnp.maximum(n - capacity, 0)
+    return rows.astype(jnp.int32), cols.astype(jnp.int32), valid, overflow
+
+
+def _deriv_at(stack, r, c):
+    """3x3x3 window of (low, cur, high) around (r, c) -> derivative terms.
+
+    stack: (3, H, W). Returns dict of the 3D Hessian and gradient entries
+    used by localizeKeypoint (pyramid.cpp:137-162).
+    """
+    w = jax.lax.dynamic_slice(stack, (0, r - 1, c - 1), (3, 3, 3))
+    low, cur, high = w[0], w[1], w[2]
+    dxx = cur[1, 0] - 2.0 * cur[1, 1] + cur[1, 2]
+    dyy = cur[0, 1] - 2.0 * cur[1, 1] + cur[2, 1]
+    dss = low[1, 1] - 2.0 * cur[1, 1] + high[1, 1]
+    dxy = 0.25 * (cur[2, 2] - cur[2, 0] - cur[0, 2] + cur[0, 0])
+    dxs = 0.25 * (high[1, 2] - high[1, 0] - low[1, 2] + low[1, 0])
+    dys = 0.25 * (high[2, 1] - high[0, 1] - low[2, 1] + low[0, 1])
+    dx = 0.5 * (cur[1, 2] - cur[1, 0])
+    dy = 0.5 * (cur[2, 1] - cur[0, 1])
+    ds = 0.5 * (high[1, 1] - low[1, 1])
+    center = cur[1, 1]
+    return dxx, dyy, dss, dxy, dxs, dys, dx, dy, ds, center
+
+
+def _localize_one(stack, blur, r0, c0, cur_scale, pixel_distance,
+                  rows, cols, cfg: HesaffConfig):
+    """Bounded iterative 3D quadratic refinement for one candidate.
+
+    Straight-line masked version of localizeKeypoint
+    (/root/reference/pyramid.cpp:122-204): up to 5 iterations, each moving
+    at most +-1 px in x and y (scale never moves), edge rejection on the
+    first iteration only, rejection on NaN solutions and on walking into
+    the safety border.
+    """
+    r = r0
+    c = c0
+    b = jnp.zeros(3, jnp.float32)
+    val = jnp.float32(0.0)
+    alive = jnp.bool_(True)      # still iterating, not rejected
+    rejected = jnp.bool_(False)  # hard reject (edge/NaN/border walk)
+    converged = jnp.bool_(False)
+
+    for it in range(cfg.localize_iterations):
+        dxx, dyy, dss, dxy, dxs, dys, dx, dy, ds, center = _deriv_at(
+            stack, r, c
+        )
+        if it == 0:
+            edge_den = dxx * dyy - dxy * dxy
+            edge_score = (dxx + dyy) * (dxx + dyy) / edge_den
+            edge_bad = (edge_score >= cfg.edge_score_threshold) | (
+                edge_score < 0
+            )
+            rejected = rejected | (alive & edge_bad)
+            alive = alive & ~edge_bad
+
+        A = jnp.stack(
+            [
+                jnp.stack([dxx, dxy, dxs]),
+                jnp.stack([dxy, dyy, dys]),
+                jnp.stack([dxs, dys, dss]),
+            ]
+        )
+        rhs = -jnp.stack([dx, dy, ds])
+        sol = solve3x3(A, rhs)
+        nan_bad = jnp.any(jnp.isnan(sol))
+        rejected = rejected | (alive & nan_bad)
+        alive = alive & ~nan_bad
+
+        new_val = center + 0.5 * (dx * sol[0] + dy * sol[1] + ds * sol[2])
+        b = jnp.where(alive, sol, b)
+        val = jnp.where(alive, new_val, val)
+
+        # +-1 px walk with safety-border rejection (pyramid.cpp:174-177)
+        move_px = sol[0] > cfg.max_subpixel_shift
+        move_nx = sol[0] < -cfg.max_subpixel_shift
+        move_py = sol[1] > cfg.max_subpixel_shift
+        move_ny = sol[1] < -cfg.max_subpixel_shift
+        bad_px = move_px & ~(c < cols - cfg.point_safety_border)
+        bad_nx = move_nx & ~(c > cfg.point_safety_border)
+        bad_py = move_py & ~(r < rows - cfg.point_safety_border)
+        bad_ny = move_ny & ~(r > cfg.point_safety_border)
+        border_bad = bad_px | bad_nx | bad_py | bad_ny
+        rejected = rejected | (alive & border_bad)
+        alive = alive & ~border_bad
+
+        dc = jnp.where(move_px, 1, 0) + jnp.where(move_nx, -1, 0)
+        dr = jnp.where(move_py, 1, 0) + jnp.where(move_ny, -1, 0)
+        moved = (dc != 0) | (dr != 0)
+        just_conv = alive & ~moved
+        converged = converged | just_conv
+        alive = alive & moved
+
+        # the reference only adopts a move at the TOP of the next iteration
+        # (r = nr; c = nc, pyramid.cpp:135), so a move decided on the final
+        # iteration is never applied: the output/dedup cell stays at the
+        # last *evaluated* position.
+        if it < cfg.localize_iterations - 1:
+            c = jnp.where(alive, c + dc, c)
+            r = jnp.where(alive, r + dr, r)
+
+    # final acceptance (pyramid.cpp:189-190); octaveMap handled by caller
+    lim = cfg.final_shift_limit
+    shift_bad = (
+        (jnp.abs(b[0]) > lim) | (jnp.abs(b[1]) > lim) | (jnp.abs(b[2]) > lim)
+    )
+    weak = jnp.abs(val) < cfg.final_threshold
+    ok = ~rejected & ~shift_bad & ~weak
+
+    scale = cur_scale * jnp.exp2(b[2] / cfg.num_scales)
+    # point type from the blur image at the final cell (pyramid.cpp:24-37,199)
+    brow = jax.lax.dynamic_slice(blur, (r, c - 1), (1, 3))[0]
+    lxx = brow[0] - 2.0 * brow[1] + brow[2]
+    ptype = jnp.where(
+        val < 0,
+        HESSIAN_SADDLE,
+        jnp.where(lxx < 0, HESSIAN_DARK, HESSIAN_BRIGHT),
+    ).astype(jnp.int32)
+
+    x = pixel_distance * (c.astype(jnp.float32) + b[0])
+    y = pixel_distance * (r.astype(jnp.float32) + b[1])
+    s = pixel_distance * scale
+    return ok, x, y, s, val, ptype, r, c
+
+
+def detect_level(low, cur, high, blur, cur_scale: float,
+                 pixel_distance: float, capacity: int,
+                 cfg: HesaffConfig) -> LevelKeypoints:
+    """Candidates + batched localization for one detection level."""
+    H, W = cur.shape
+    mask = candidate_mask(low, cur, high, cfg)
+    rows, cols, valid, overflow = compact_candidates(mask, capacity)
+    stack = jnp.stack([low, cur, high])
+
+    loc = jax.vmap(
+        lambda r, c: _localize_one(
+            stack, blur, r, c,
+            jnp.float32(cur_scale), jnp.float32(pixel_distance),
+            H, W, cfg,
+        )
+    )(rows, cols)
+    ok, x, y, s, val, ptype, r_f, c_f = loc
+    ok = ok & valid
+    order = jnp.arange(capacity, dtype=jnp.int32)
+    return LevelKeypoints(
+        ok=ok, x=x, y=y, s=s, response=val, type=ptype,
+        r_final=r_f, c_final=c_f, order=order, overflow=overflow,
+    )
+
+
+def dedup_octave(levels: list[LevelKeypoints], H: int, W: int):
+    """Emulate the octaveMap first-come-first-marked dedup across levels.
+
+    Accepted keypoints sharing a final cell keep only the earliest in
+    (level, raster) scan order — exactly the sequential marking of
+    pyramid.cpp:189-193.  Returns the per-level `ok` masks, updated.
+    """
+    cell = jnp.concatenate(
+        [lvl.r_final * W + lvl.c_final for lvl in levels]
+    )
+    ok = jnp.concatenate([lvl.ok for lvl in levels])
+    order = jnp.concatenate(
+        [
+            lvl.order + i * (H * W)
+            for i, lvl in enumerate(levels)
+        ]
+    )
+    big = H * W + 1
+    key = jnp.where(ok, cell, big)  # rejected entries sort to the end
+    # stable sort by cell key; ties keep scan order because `order` is
+    # ascending within each level block and levels are concatenated in
+    # scan order with jnp.sort's stability over the secondary sort below.
+    perm = jnp.argsort(key, stable=True)
+    # within equal keys argsort(stable) preserves input order; input order
+    # across levels is exactly scan order only if capacity slots are in
+    # raster order (they are) and levels concatenated in level order (they
+    # are) — so no secondary sort needed.
+    sorted_key = key[perm]
+    first = jnp.concatenate(
+        [jnp.asarray([True]), sorted_key[1:] != sorted_key[:-1]]
+    )
+    keep_sorted = first & (sorted_key != big)
+    keep = jnp.zeros_like(ok).at[perm].set(keep_sorted)
+    sizes = [lvl.ok.shape[0] for lvl in levels]
+    out = []
+    start = 0
+    for lvl, n in zip(levels, sizes):
+        out.append(lvl._replace(ok=keep[start : start + n]))
+        start += n
+    return out

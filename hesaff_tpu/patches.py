@@ -1,0 +1,190 @@
+"""Affine patch normalization: batched warp + anti-alias blur + subsample.
+
+TPU-native redesign of AffineShape::normalizeAffine
+(/root/reference/affine.cpp:102-144).  The reference allocates a
+variable-size workspace per keypoint (patchImageSize depends on scale),
+warps at native image resolution, Gaussian-blurs with
+sigma = 1.5 * imageToPatchScale, and bilinearly subsamples the center to a
+41x41 patch.  Variable shapes are anathema to XLA, so keypoints are
+*bucketed by workspace size* (static bucket sizes, a handful of compiled
+specializations) and each bucket runs as one batched kernel:
+
+  * the B x B workspace warp clamps its output index to the keypoint's
+    true workspace extent W_S = patchImageSize+2, so indices beyond the
+    real workspace replicate the edge row/col — which makes the
+    subsequent static-size blur's edge padding reproduce OpenCV's
+    BORDER_REPLICATE on the *true* W_S x W_S workspace exactly;
+  * the per-keypoint blur sigma varies, so taps are computed on device
+    into a static maximum width (the bucket's worst case), zero-masked
+    beyond each keypoint's true OpenCV kernel size, and renormalized —
+    identical semantics to gaussianBlurInplace (helpers.cpp:291-295);
+  * the 41x41 subsample is a batched bilinear gather at offsets
+    (W_S>>1) + i * imageToPatchScale (affine.cpp:131).
+
+Keypoints whose imageToPatchScale <= 0.4 take the direct-warp branch
+(affine.cpp:135-141); with default parameters this branch is dead
+(minimum patchImageSize ~21 > 0.4*41), but it is kept for config parity.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hesaff_tpu.config import HesaffConfig
+from hesaff_tpu.ops.warp import affine_sample, bilinear_sample, check_borders
+
+# Bucket sizes for the workspace side B >= patchImageSize+2. Geometric-ish
+# spacing bounds wasted compute at ~25%; large sizes are rare (keypoint
+# counts fall ~4x per octave while S doubles).
+BUCKET_SIZES = (
+    25, 33, 41, 49, 65, 81, 97, 129, 161, 193, 257, 321, 385, 513,
+    641, 769, 1025, 1281, 1537, 2049,
+)
+
+
+def patch_image_size(s: np.ndarray, mr_size: float) -> np.ndarray:
+    """patchImageSize = 2*int(ceil(s*mrSize))+1 (affine.cpp:106-108)."""
+    mr_scale = np.ceil(np.asarray(s, np.float32) * np.float32(mr_size))
+    return (2 * mr_scale.astype(np.int64) + 1).astype(np.int32)
+
+
+def bucket_for(ws: int) -> int:
+    """Smallest bucket size >= ws (workspace side = patchImageSize+2)."""
+    for b in BUCKET_SIZES:
+        if b >= ws:
+            return b
+    return -1  # exceeds all buckets -> caller drops + counts
+
+
+def _max_ksize_for_bucket(bucket: int, patch_size: int,
+                          smooth_factor: float) -> int:
+    """Static upper bound on the OpenCV blur kernel width in this bucket."""
+    its_max = (bucket - 2) / patch_size
+    size = int(2.0 * 3.0 * smooth_factor * its_max + 1.0)
+    if size % 2 == 0:
+        size += 1
+    return size
+
+
+def _device_gauss_taps(sigma, ksize, kmax: int):
+    """Per-keypoint sampled-Gaussian taps, masked to `ksize`, normalized.
+
+    sigma, ksize: traced scalars; kmax: static width (odd). Tap i sits at
+    offset i - kmax//2; offsets beyond the true radius ksize//2 get zero
+    weight, reproducing OpenCV's size-limited sampled kernel.
+    """
+    rmax = kmax // 2
+    off = jnp.arange(-rmax, rmax + 1, dtype=jnp.float32)
+    r_true = (ksize // 2).astype(jnp.float32)
+    w = jnp.exp(-(off * off) / (2.0 * sigma * sigma))
+    w = jnp.where(jnp.abs(off) <= r_true, w, 0.0)
+    return w / jnp.sum(w)
+
+
+def _warp_workspace(image, bucket: int, x, y, a11, a12, a21, a22, ws):
+    """Clamped-index det-1 workspace warp for one keypoint.
+
+    Output index q in [0, bucket); effective grid offset uses
+    min(q, ws-1) - (ws>>1) so q >= ws replicates the last true row/col
+    (exactly BORDER_REPLICATE for the later blur).  Returns
+    (workspace (bucket, bucket), touched) where `touched` mirrors the
+    reference's drop-if-any-OOB rule (affine.cpp:126-134).
+    """
+    q = jnp.arange(bucket, dtype=jnp.int32)
+    eff = jnp.minimum(q, ws - 1) - (ws >> 1)
+    effx = eff.astype(jnp.float32)[None, :]
+    effy = eff.astype(jnp.float32)[:, None]
+    wx = x + effx * a11 + effy * a12
+    wy = y + effx * a21 + effy * a22
+    return bilinear_sample(image, wx, wy)
+
+
+def _blur_batched(ws_imgs, taps):
+    """Separable shift-and-add blur with edge replication.
+
+    ws_imgs: (K, B, B); taps: (K, kmax). Edge replication at the buffer
+    boundary equals replication at the true workspace boundary because
+    the warp already clamped indices beyond ws-1.
+    """
+    K, B, _ = ws_imgs.shape
+    kmax = taps.shape[1]
+    r = kmax // 2
+    p = jnp.pad(ws_imgs, ((0, 0), (r, r), (0, 0)), mode="edge")
+    acc = None
+    for i in range(kmax):
+        t = taps[:, i][:, None, None] * jax.lax.slice_in_dim(p, i, i + B, axis=1)
+        acc = t if acc is None else acc + t
+    p = jnp.pad(acc, ((0, 0), (0, 0), (r, r)), mode="edge")
+    acc = None
+    for i in range(kmax):
+        t = taps[:, i][:, None, None] * jax.lax.slice_in_dim(p, i, i + B, axis=2)
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def _subsample_patch(ws_img, ws, its, patch_size: int):
+    """41x41 bilinear subsample from the blurred workspace center."""
+    half = patch_size >> 1
+    i = jnp.arange(-half, half + 1, dtype=jnp.float32)
+    ofs = (ws >> 1).astype(jnp.float32)
+    wx = ofs + i[None, :] * its
+    wy = ofs + i[:, None] * its
+    out, _ = bilinear_sample(ws_img, wx, wy)
+    return out
+
+
+def extract_bucket(image: jnp.ndarray, bucket: int, x, y, s,
+                   a11, a12, a21, a22, cfg: HesaffConfig):
+    """Batched patch extraction for keypoints assigned to one bucket.
+
+    All array args are (K,).  Returns (patches (K, P, P), ok (K,)).
+    ok=False for keypoints whose patch touches the image boundary
+    (corner pre-check, affine.cpp:112, or full-warp check, 126).
+    """
+    P = cfg.patch_size
+    mr_scale = jnp.ceil(s * cfg.mr_size)
+    S = 2 * mr_scale.astype(jnp.int32) + 1
+    its = S.astype(jnp.float32) / P
+    ws = S + 2
+
+    H, W = image.shape
+    corner_bad = jax.vmap(
+        lambda itss, b11, b12, b21, b22, xx, yy: check_borders(
+            H, W, P, P, xx, yy,
+            b11 * itss, b12 * itss, b21 * itss, b22 * itss,
+        )
+    )(its, a11, a12, a21, a22, x, y)
+
+    use_blur_branch = (bucket - 2) / P > cfg.oversample_cutoff
+    if use_blur_branch:
+        kmax = _max_ksize_for_bucket(bucket, P, cfg.patch_smooth_factor)
+        wsp, touched = jax.vmap(
+            lambda xx, yy, b11, b12, b21, b22, w: _warp_workspace(
+                image, bucket, xx, yy, b11, b12, b21, b22, w
+            )
+        )(x, y, a11, a12, a21, a22, ws)
+
+        sigma = cfg.patch_smooth_factor * its
+        ksz = (2.0 * 3.0 * sigma + 1.0).astype(jnp.int32)
+        ksz = ksz + 1 - (ksz % 2)  # make odd (round up like size++)
+        taps = jax.vmap(lambda sg, kz: _device_gauss_taps(sg, kz, kmax))(
+            sigma, ksz
+        )
+        blurred = _blur_batched(wsp, taps)
+        patches = jax.vmap(
+            lambda im, w, itss: _subsample_patch(im, w, itss, P)
+        )(blurred, ws, its)
+        ok = ~corner_bad & ~touched
+    else:
+        patches, touched = jax.vmap(
+            lambda xx, yy, b11, b12, b21, b22, itss: affine_sample(
+                image, P, P, xx, yy,
+                b11 * itss, b12 * itss, b21 * itss, b22 * itss,
+            )
+        )(x, y, a11, a12, a21, a22, its)
+        ok = ~corner_bad & ~touched
+    return patches, ok

@@ -1,0 +1,95 @@
+"""Gaussian scale-space ladder + DoH response stacks.
+
+Replicates the reference's pyramid schedule
+(/root/reference/pyramid.cpp:224-292) as dense staged arrays: each octave
+produces a (num_scales+2, H, W) blur stack and matching DoH stack in one
+shot, and the next octave seeds from the level at sigma = 2*initial_sigma
+via unfiltered 2x subsampling (pyramid.cpp:251-253).
+
+All sigmas are static Python floats (shapes and taps bake into the jitted
+program); octave shapes halve, so an image gets one XLA program with the
+octave loop unrolled.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from hesaff_tpu.config import HesaffConfig
+from hesaff_tpu.ops.blur import gaussian_blur_traced, gaussian_taps
+from hesaff_tpu.ops.hessian import hessian_response
+from hesaff_tpu.ops.resample import double_image, half_image
+
+
+class Octave(NamedTuple):
+    blurs: jnp.ndarray      # (num_scales+2, H, W) blur ladder
+    resps: jnp.ndarray      # (num_scales+2, H, W) DoH responses
+    sigmas: tuple           # per-level sigma (static floats)
+    pixel_distance: float   # image pixels per octave pixel
+    next_first: jnp.ndarray  # seed level for the next octave (H//2, W//2)
+
+
+def level_sigmas(cfg: HesaffConfig) -> list[float]:
+    step = cfg.sigma_step
+    return [cfg.initial_sigma * step**k for k in range(cfg.num_scales + 2)]
+
+
+def prepare_first_level(image: jnp.ndarray, cfg: HesaffConfig):
+    """Initial blur to sigma0 (assumes input sigma = 0.5; pyramid.cpp:261-280).
+
+    Returns (first_level, pixel_distance).
+    """
+    cur_sigma = 0.5
+    pd = 1.0
+    first = image
+    if cfg.upscale_input:
+        first = double_image(first)
+        pd *= 0.5
+        cur_sigma *= 2.0
+    if cfg.initial_sigma > cur_sigma:
+        sigma = math.sqrt(cfg.initial_sigma**2 - cur_sigma**2)
+        first = gaussian_blur_traced(first, jnp.asarray(gaussian_taps(sigma)))
+    return first, pd
+
+
+def build_octave(first_level: jnp.ndarray, pixel_distance: float,
+                 cfg: HesaffConfig) -> Octave:
+    """One octave's blur + DoH stacks (pyramid.cpp:224-258 schedule)."""
+    sigmas = level_sigmas(cfg)
+    step = cfg.sigma_step
+    blurs = [first_level]
+    for i in range(cfg.num_scales + 1):
+        inc = sigmas[i] * math.sqrt(step * step - 1.0)
+        blurs.append(
+            gaussian_blur_traced(blurs[-1], jnp.asarray(gaussian_taps(inc)))
+        )
+    resps = [
+        hessian_response(b, sigmas[k] ** 2) for k, b in enumerate(blurs)
+    ]
+    next_first = half_image(blurs[cfg.num_scales])
+    return Octave(
+        blurs=jnp.stack(blurs),
+        resps=jnp.stack(resps),
+        sigmas=tuple(sigmas),
+        pixel_distance=pixel_distance,
+        next_first=next_first,
+    )
+
+
+def octave_shapes(height: int, width: int, cfg: HesaffConfig):
+    """Static (H, W, pixel_distance) schedule for an input image size."""
+    if cfg.upscale_input:
+        height, width = height * 2, width * 2
+        pd = 0.5
+    else:
+        pd = 1.0
+    out = []
+    while height > cfg.min_octave_size and width > cfg.min_octave_size:
+        out.append((height, width, pd))
+        height //= 2
+        width //= 2
+        pd *= 2.0
+    return out
