@@ -35,12 +35,14 @@ def solve3x3(A, b):
     vp = jnp.where(p1, jnp.abs(a[1][0]), jnp.abs(a[0][0]))
     p2 = jnp.abs(a[2][0]) > vp
 
+    # pivot row 2 swaps rows 0<->2 outright; otherwise pivot row 1 swaps
+    # rows 0<->1 (helpers.cpp:68 swaps the chosen pivot row with row 0)
     row0 = pick(p2, a[2], pick(p1, a[1], a[0]))
     row1 = pick(p2, a[1], pick(p1, a[0], a[1]))
-    row2 = pick(p2, pick(p1, a[1], a[0]), a[2])
+    row2 = pick(p2, a[0], a[2])
     b0 = jnp.where(p2, bb[2], jnp.where(p1, bb[1], bb[0]))
     b1 = jnp.where(p2, bb[1], jnp.where(p1, bb[0], bb[1]))
-    b2 = jnp.where(p2, jnp.where(p1, bb[1], bb[0]), bb[2])
+    b2 = jnp.where(p2, bb[0], bb[2])
 
     # eliminate column 0 from rows 1, 2
     f1 = row1[0] / row0[0]

@@ -1,0 +1,79 @@
+"""Detection golden tests: localized keypoint sets vs the oracle.
+
+Matching is by geometry with tight tolerances rather than exact set
+equality: f32-vs-C++ rounding legitimately flips ~1% of borderline
+NMS/threshold decisions (see .claude/skills/verify/SKILL.md).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hesaff_tpu.config import HesaffConfig
+from hesaff_tpu.detect import dedup_octave, detect_level
+from hesaff_tpu.pyramid import build_octave, level_sigmas, prepare_first_level
+
+CFG = HesaffConfig()
+
+
+def run_detection(gray):
+    first, pd = prepare_first_level(jnp.asarray(gray), CFG)
+    sig = level_sigmas(CFG)
+    out = []
+    cur = first
+    while (cur.shape[0] > CFG.min_octave_size
+           and cur.shape[1] > CFG.min_octave_size):
+        H, W = cur.shape
+        o = build_octave(cur, pd, CFG)
+        cap = CFG.level_capacity(H, W)
+        levels = [
+            detect_level(o.resps[l - 1], o.resps[l], o.resps[l + 1],
+                         o.blurs[l], sig[l], pd, cap, CFG)
+            for l in (1, 2, 3)
+        ]
+        levels = dedup_octave(levels, H, W)
+        for lk in levels:
+            ok = np.asarray(lk.ok)
+            for j in np.nonzero(ok)[0]:
+                out.append((float(lk.x[j]), float(lk.y[j]), float(lk.s[j]),
+                            pd, int(lk.type[j]), float(lk.response[j])))
+        cur = o.next_first
+        pd *= 2.0
+    return np.asarray(out)
+
+
+@pytest.mark.parametrize("pack", ["golden_small", "golden_mid"])
+def test_keypoints_match_oracle(pack, request):
+    golden = request.getfixturevalue(pack)
+    g = golden["hess_keypoints"]  # x,y,s,pd,type,resp
+    mine = run_detection(golden["gray"])
+
+    matched = 0
+    close = 0
+    for row in g:
+        cand = mine[mine[:, 3] == row[3]]
+        if len(cand) == 0:
+            continue
+        dd = np.hypot(cand[:, 0] - row[0], cand[:, 1] - row[1])
+        i = dd.argmin()
+        if dd[i] < 0.3 * row[3]:
+            matched += 1
+            if (abs(cand[i, 2] - row[2]) < 0.02 * row[2]
+                    and abs(cand[i, 5] - row[5]) < 0.02 * abs(row[5])
+                    and cand[i, 4] == row[4]):
+                close += 1
+    # >= 97% of oracle keypoints found, every found one numerically tight
+    assert matched >= 0.97 * len(g)
+    assert close == matched
+    # and no spurious extras: counts within 2%
+    assert abs(len(mine) - len(g)) <= max(2, 0.02 * len(g))
+
+
+def test_flat_image_no_keypoints():
+    flat = np.full((64, 64), 77.0, np.float32)
+    assert len(run_detection(flat)) == 0
+
+
+def test_tiny_image_no_octaves():
+    tiny = (np.random.RandomState(0).rand(13, 13) * 255).astype(np.float32)
+    assert len(run_detection(tiny)) == 0
