@@ -1,0 +1,90 @@
+"""Benchmark: batched Hessian-Affine + SIFT extraction throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference C++ binary measured in this container on
+800x640 synthetic imagery — ~3.9k descriptors/s single CPU thread
+(BASELINE.md).  vs_baseline = descriptors/s / 3900.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_DESC_PER_S = 3900.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--width", type=int, default=800)
+    ap.add_argument("--height", type=int, default=640)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tests", "golden"))
+    import gen_images
+
+    from hesaff_tpu.batch import extract_batch
+    from hesaff_tpu.config import HesaffConfig
+
+    cfg = HesaffConfig()
+    rng_imgs = [
+        gen_images.synth_image(args.width, args.height, seed=s)
+        .astype(np.float32).mean(axis=-1)
+        for s in range(args.batch)
+    ]
+    images = jnp.asarray(np.stack(rng_imgs))
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    feats, stats = extract_batch(images, cfg, return_stats=True)
+    t_compile = time.perf_counter() - t0
+
+    n_desc = stats.num_described
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        feats, stats = extract_batch(images, cfg, return_stats=True)
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+    desc_per_s = n_desc / t
+    img_per_s = args.batch / t
+
+    print(
+        f"# batch={args.batch} {args.width}x{args.height} "
+        f"desc={n_desc} kp={stats.num_keypoints} compile={t_compile:.1f}s "
+        f"best={t:.3f}s img/s={img_per_s:.1f} "
+        f"overflow=({stats.candidate_overflow},{stats.bucket_overflow}) "
+        f"platform={jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "hesaff_sift_descriptors_per_sec_per_chip",
+        "value": round(desc_per_s, 1),
+        "unit": "desc/s",
+        "vs_baseline": round(desc_per_s / BASELINE_DESC_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -49,6 +49,32 @@ def bilinear_sample(img: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray):
     return jnp.where(valid, val, 0.0), jnp.any(~valid)
 
 
+def bilinear_sample_from(stack: jnp.ndarray, idx, wx: jnp.ndarray,
+                         wy: jnp.ndarray):
+    """Like bilinear_sample but against one image of a (B, H, W) stack.
+
+    idx: scalar int32 image index (per-keypoint, for cross-batch bucketed
+    patch extraction).  Keeps the image batch resident on device instead
+    of gathering a per-keypoint image copy.
+    """
+    H, W = stack.shape[-2], stack.shape[-1]
+    x0f = jnp.floor(wx)
+    y0f = jnp.floor(wy)
+    valid = (x0f >= 0) & (y0f >= 0) & (x0f < W - 1) & (y0f < H - 1)
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, W - 2)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, H - 2)
+    fx = wx - x0f
+    fy = wy - y0f
+    v00 = stack[idx, y0, x0]
+    v01 = stack[idx, y0, x0 + 1]
+    v10 = stack[idx, y0 + 1, x0]
+    v11 = stack[idx, y0 + 1, x0 + 1]
+    val = (1.0 - fy) * ((1.0 - fx) * v00 + fx * v01) + fy * (
+        (1.0 - fx) * v10 + fx * v11
+    )
+    return jnp.where(valid, val, 0.0), jnp.any(~valid)
+
+
 def affine_sample(img, out_h: int, out_w: int, ofsx, ofsy, a11, a12, a21, a22):
     """Warp: centered affine grid + bilinear sample. Returns (out, touched)."""
     wx, wy = affine_grid(out_h, out_w, ofsx, ofsy, a11, a12, a21, a22)

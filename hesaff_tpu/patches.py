@@ -35,7 +35,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from hesaff_tpu.config import HesaffConfig
-from hesaff_tpu.ops.warp import affine_sample, bilinear_sample, check_borders
+from hesaff_tpu.ops.warp import (
+    bilinear_sample,
+    bilinear_sample_from,
+    check_borders,
+)
 
 # Bucket sizes for the workspace side B >= patchImageSize+2. Geometric-ish
 # spacing bounds wasted compute at ~25%; large sizes are rare (keypoint
@@ -85,14 +89,15 @@ def _device_gauss_taps(sigma, ksize, kmax: int):
     return w / jnp.sum(w)
 
 
-def _warp_workspace(image, bucket: int, x, y, a11, a12, a21, a22, ws):
+def _warp_workspace(images, idx, bucket: int, x, y, a11, a12, a21, a22, ws):
     """Clamped-index det-1 workspace warp for one keypoint.
 
-    Output index q in [0, bucket); effective grid offset uses
-    min(q, ws-1) - (ws>>1) so q >= ws replicates the last true row/col
-    (exactly BORDER_REPLICATE for the later blur).  Returns
-    (workspace (bucket, bucket), touched) where `touched` mirrors the
-    reference's drop-if-any-OOB rule (affine.cpp:126-134).
+    images: (B, H, W) batch; idx: this keypoint's image.  Output index q
+    in [0, bucket); effective grid offset uses min(q, ws-1) - (ws>>1) so
+    q >= ws replicates the last true row/col (exactly BORDER_REPLICATE
+    for the later blur).  Returns (workspace (bucket, bucket), touched)
+    where `touched` mirrors the reference's drop-if-any-OOB rule
+    (affine.cpp:126-134).
     """
     q = jnp.arange(bucket, dtype=jnp.int32)
     eff = jnp.minimum(q, ws - 1) - (ws >> 1)
@@ -100,7 +105,7 @@ def _warp_workspace(image, bucket: int, x, y, a11, a12, a21, a22, ws):
     effy = eff.astype(jnp.float32)[:, None]
     wx = x + effx * a11 + effy * a12
     wy = y + effx * a21 + effy * a22
-    return bilinear_sample(image, wx, wy)
+    return bilinear_sample_from(images, idx, wx, wy)
 
 
 def _blur_batched(ws_imgs, taps):
@@ -137,13 +142,15 @@ def _subsample_patch(ws_img, ws, its, patch_size: int):
     return out
 
 
-def extract_bucket(image: jnp.ndarray, bucket: int, x, y, s,
-                   a11, a12, a21, a22, cfg: HesaffConfig):
+def extract_bucket_batch(images: jnp.ndarray, bucket: int, img_idx,
+                         x, y, s, a11, a12, a21, a22, cfg: HesaffConfig):
     """Batched patch extraction for keypoints assigned to one bucket.
 
-    All array args are (K,).  Returns (patches (K, P, P), ok (K,)).
-    ok=False for keypoints whose patch touches the image boundary
-    (corner pre-check, affine.cpp:112, or full-warp check, 126).
+    images: (B, H, W); img_idx + remaining array args: (K,) per-keypoint
+    (keypoints may come from different images — cross-batch bucketing).
+    Returns (patches (K, P, P), ok (K,)).  ok=False for keypoints whose
+    patch touches the image boundary (corner pre-check, affine.cpp:112,
+    or full-warp check, affine.cpp:126).
     """
     P = cfg.patch_size
     mr_scale = jnp.ceil(s * cfg.mr_size)
@@ -151,7 +158,7 @@ def extract_bucket(image: jnp.ndarray, bucket: int, x, y, s,
     its = S.astype(jnp.float32) / P
     ws = S + 2
 
-    H, W = image.shape
+    H, W = images.shape[-2], images.shape[-1]
     corner_bad = jax.vmap(
         lambda itss, b11, b12, b21, b22, xx, yy: check_borders(
             H, W, P, P, xx, yy,
@@ -163,10 +170,10 @@ def extract_bucket(image: jnp.ndarray, bucket: int, x, y, s,
     if use_blur_branch:
         kmax = _max_ksize_for_bucket(bucket, P, cfg.patch_smooth_factor)
         wsp, touched = jax.vmap(
-            lambda xx, yy, b11, b12, b21, b22, w: _warp_workspace(
-                image, bucket, xx, yy, b11, b12, b21, b22, w
+            lambda ii, xx, yy, b11, b12, b21, b22, w: _warp_workspace(
+                images, ii, bucket, xx, yy, b11, b12, b21, b22, w
             )
-        )(x, y, a11, a12, a21, a22, ws)
+        )(img_idx, x, y, a11, a12, a21, a22, ws)
 
         sigma = cfg.patch_smooth_factor * its
         ksz = (2.0 * 3.0 * sigma + 1.0).astype(jnp.int32)
@@ -181,10 +188,30 @@ def extract_bucket(image: jnp.ndarray, bucket: int, x, y, s,
         ok = ~corner_bad & ~touched
     else:
         patches, touched = jax.vmap(
-            lambda xx, yy, b11, b12, b21, b22, itss: affine_sample(
-                image, P, P, xx, yy,
-                b11 * itss, b12 * itss, b21 * itss, b22 * itss,
+            lambda ii, xx, yy, b11, b12, b21, b22, itss: bilinear_sample_from(
+                images, ii,
+                *_direct_grid(P, xx, yy, b11 * itss, b12 * itss,
+                              b21 * itss, b22 * itss),
             )
-        )(x, y, a11, a12, a21, a22, its)
+        )(img_idx, x, y, a11, a12, a21, a22, its)
         ok = ~corner_bad & ~touched
     return patches, ok
+
+
+def _direct_grid(P: int, ofsx, ofsy, a11, a12, a21, a22):
+    """Centered PxP affine sample grid (direct-warp branch)."""
+    half = P >> 1
+    j = jnp.arange(-half, half + 1, dtype=jnp.float32)[:, None]
+    i = jnp.arange(-half, half + 1, dtype=jnp.float32)[None, :]
+    wx = ofsx + i * a11 + j * a12
+    wy = ofsy + i * a21 + j * a22
+    return wx, wy
+
+
+def extract_bucket(image: jnp.ndarray, bucket: int, x, y, s,
+                   a11, a12, a21, a22, cfg: HesaffConfig):
+    """Single-image convenience wrapper around extract_bucket_batch."""
+    idx = jnp.zeros(x.shape, jnp.int32)
+    return extract_bucket_batch(
+        image[None], bucket, idx, x, y, s, a11, a12, a21, a22, cfg
+    )

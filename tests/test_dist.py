@@ -1,0 +1,81 @@
+"""Batch + sharded extraction tests on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hesaff_tpu import HesaffConfig, extract
+from hesaff_tpu.batch import extract_batch
+from hesaff_tpu.dist import (
+    default_bucket_spec,
+    extraction_step,
+    make_mesh,
+    sharded_extraction_step,
+)
+
+CFG = HesaffConfig()
+
+
+def _images(n=8, h=96, w=96, seed=3):
+    rng = np.random.RandomState(seed)
+    imgs = []
+    for k in range(n):
+        img = rng.rand(h, w) * 40 + 60
+        for _ in range(25):
+            cx, cy = rng.uniform(8, w - 8), rng.uniform(8, h - 8)
+            s = rng.uniform(1.5, 5.0)
+            a = rng.uniform(-120, 120)
+            y, x = np.mgrid[0:h, 0:w]
+            img += a * np.exp(-((x - cx) ** 2 + (y - cy) ** 2) / (2 * s * s))
+        imgs.append(np.clip(img, 0, 255))
+    return np.stack(imgs).astype(np.float32)
+
+
+def test_extract_batch_matches_single(golden_small):
+    g1 = golden_small["gray"]
+    g2 = g1[::-1, ::-1].copy()
+    feats = extract_batch(np.stack([g1, g2]), CFG)
+    single = extract(jnp.asarray(g1), CFG)
+    f0 = feats[0]
+    assert f0.n == single.n
+    np.testing.assert_allclose(f0.x, single.x, atol=1e-3)
+    np.testing.assert_array_equal(f0.desc, single.desc)
+    assert feats[1].n > 0
+
+
+def test_extraction_step_matches_extract_batch():
+    imgs = _images(n=2)
+    buckets = default_bucket_spec(imgs.shape[1], imgs.shape[2], CFG,
+                                  per_image_cap=512)
+    dense = extraction_step(jnp.asarray(imgs), CFG, buckets)
+    assert int(dense.overflow) == 0
+    feats = extract_batch(imgs, CFG)
+    n_batch = sum(f.n for f in feats)
+    assert int(dense.valid.sum()) == n_batch
+    # same keypoints (match by coordinates per image)
+    v = np.asarray(dense.valid)
+    dx = np.asarray(dense.x)[v]
+    di = np.asarray(dense.img_idx)[v]
+    for b, f in enumerate(feats):
+        mine = np.sort(dx[di == b])
+        ref = np.sort(f.x)
+        np.testing.assert_allclose(mine, ref, atol=1e-3)
+
+
+def test_sharded_step_matches_unsharded():
+    n_dev = len(jax.devices())
+    assert n_dev == 8
+    imgs = _images(n=8)
+    mesh = make_mesh()
+    buckets = default_bucket_spec(imgs.shape[1], imgs.shape[2], CFG,
+                                  per_image_cap=1024)
+    step, in_sh = sharded_extraction_step(mesh, CFG, buckets)
+    sharded = step(jax.device_put(jnp.asarray(imgs), in_sh))
+    plain = extraction_step(jnp.asarray(imgs), CFG, buckets)
+    np.testing.assert_array_equal(np.asarray(sharded.valid),
+                                  np.asarray(plain.valid))
+    v = np.asarray(plain.valid)
+    np.testing.assert_allclose(np.asarray(sharded.x)[v],
+                               np.asarray(plain.x)[v], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(sharded.desc)[v],
+                               np.asarray(plain.desc)[v], atol=1.0)
