@@ -44,8 +44,8 @@ def main():
                                     "tests", "golden"))
     import gen_images
 
-    from hesaff_tpu.batch import extract_batch
     from hesaff_tpu.config import HesaffConfig
+    from hesaff_tpu.dist import default_bucket_spec, extraction_step_staged
 
     cfg = HesaffConfig()
     rng_imgs = [
@@ -54,17 +54,25 @@ def main():
         for s in range(args.batch)
     ]
     images = jnp.asarray(np.stack(rng_imgs))
+    buckets = default_bucket_spec(args.height, args.width, cfg,
+                                  per_image_cap=256, batch=args.batch)
 
-    # warmup / compile
+    # staged zero-sync path: chained small jits, device-resident
+    # intermediates — one upload, one download per batch (host round
+    # trips through the device tunnel dominate otherwise)
     t0 = time.perf_counter()
-    feats, stats = extract_batch(images, cfg, return_stats=True)
+    out = extraction_step_staged(images, cfg, buckets)
+    jax.block_until_ready(out)
     t_compile = time.perf_counter() - t0
 
-    n_desc = stats.num_described
+    n_desc = int(np.asarray(out.valid).sum())
+    overflow = int(np.asarray(out.overflow))
     times = []
     for _ in range(args.iters):
         t0 = time.perf_counter()
-        feats, stats = extract_batch(images, cfg, return_stats=True)
+        out = extraction_step_staged(images, cfg, buckets)
+        np.asarray(out.desc)  # force the result transfer like a real user
+        jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
     t = min(times)
     desc_per_s = n_desc / t
@@ -72,9 +80,8 @@ def main():
 
     print(
         f"# batch={args.batch} {args.width}x{args.height} "
-        f"desc={n_desc} kp={stats.num_keypoints} compile={t_compile:.1f}s "
-        f"best={t:.3f}s img/s={img_per_s:.1f} "
-        f"overflow=({stats.candidate_overflow},{stats.bucket_overflow}) "
+        f"desc={n_desc} compile={t_compile:.1f}s "
+        f"best={t:.3f}s img/s={img_per_s:.1f} overflow={overflow} "
         f"platform={jax.devices()[0].platform}",
         file=sys.stderr,
     )

@@ -26,7 +26,7 @@ import numpy as np
 from hesaff_tpu.config import HesaffConfig
 from hesaff_tpu.ops import masks
 from hesaff_tpu.ops.linalg import eigenvalues_2x2, inv_sqrt_2x2
-from hesaff_tpu.ops.warp import affine_sample
+from hesaff_tpu.ops.warp import affine_grid, bilinear_sample_from
 
 
 class AffineResult(NamedTuple):
@@ -62,8 +62,14 @@ def _window_gradient(img: jnp.ndarray):
     return gx, gy
 
 
-def _adapt_one(blur, x, y, s, pixel_distance, cfg: HesaffConfig, mask):
-    """Masked 16-iteration adaptation for a single keypoint."""
+def _adapt_one(blur_stack, src, x, y, s, pixel_distance,
+               cfg: HesaffConfig, mask):
+    """Masked 16-iteration adaptation for a single keypoint.
+
+    blur_stack: (L, H, W) blur levels; src: this keypoint's source level
+    index (its detection level minus one — the prevBlur quirk), so a
+    whole octave's keypoints adapt in one compacted batch.
+    """
     win = cfg.smm_window_size
     mask_pixels = float(win * win)
     lx = x / pixel_distance
@@ -81,10 +87,11 @@ def _adapt_one(blur, x, y, s, pixel_distance, cfg: HesaffConfig, mask):
 
     def body(l, state):
         u11, u12, u21, u22, ratio_bef, alive, converged, conv_iter = state
-        img, _ = affine_sample(
-            blur, win, win, lx, ly,
+        wx, wy = affine_grid(
+            win, win, lx, ly,
             u11 * ratio, u12 * ratio, u21 * ratio, u22 * ratio,
         )
+        img, _ = bilinear_sample_from(blur_stack, src, wx, wy)
         gx, gy = _window_gradient(img)
         a = jnp.sum(gx * gx * mask) / mask_pixels
         b = jnp.sum(gx * gy * mask) / mask_pixels
@@ -127,16 +134,30 @@ def _adapt_one(blur, x, y, s, pixel_distance, cfg: HesaffConfig, mask):
     )
 
 
-def adapt_level(blur: jnp.ndarray, x, y, s, pixel_distance: float,
-                cfg: HesaffConfig) -> AffineResult:
-    """Batched adaptation of a level's keypoints against its prevBlur.
+def adapt_compacted(blur_stack: jnp.ndarray, src_level, x, y, s,
+                    pixel_distance: float,
+                    cfg: HesaffConfig) -> AffineResult:
+    """Batched adaptation of an octave's compacted keypoints.
 
-    blur: (H, W) — the blur level BELOW the detection level
-    (the prevBlur quirk, /root/reference/pyramid.cpp:203).
-    x, y, s: (K,) keypoint arrays in image coordinates.
+    blur_stack: (L, H, W) blur ladder; src_level: (K,) index of each
+    keypoint's sampling level — detection level minus one, the prevBlur
+    quirk (/root/reference/pyramid.cpp:203).
     """
     mask = jnp.asarray(masks.smm_gauss_mask(cfg.smm_window_size))
     pd = jnp.float32(pixel_distance)
     return jax.vmap(
-        lambda xx, yy, ss: _adapt_one(blur, xx, yy, ss, pd, cfg, mask)
-    )(x, y, s)
+        lambda sl, xx, yy, ss: _adapt_one(
+            blur_stack, sl, xx, yy, ss, pd, cfg, mask
+        )
+    )(src_level, x, y, s)
+
+
+def adapt_level(blur: jnp.ndarray, x, y, s, pixel_distance: float,
+                cfg: HesaffConfig) -> AffineResult:
+    """Batched adaptation of one level's keypoints against its prevBlur.
+
+    blur: (H, W) — the blur level BELOW the detection level
+    (the prevBlur quirk, /root/reference/pyramid.cpp:203).
+    """
+    src = jnp.zeros(jnp.shape(x), jnp.int32)
+    return adapt_compacted(blur[None], src, x, y, s, pixel_distance, cfg)

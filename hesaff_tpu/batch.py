@@ -23,9 +23,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hesaff_tpu.affine_shape import adapt_level
+from hesaff_tpu.affine_shape import adapt_compacted
 from hesaff_tpu.config import DEFAULT_CONFIG, HesaffConfig
-from hesaff_tpu.detect import dedup_octave, detect_level
+from hesaff_tpu.detect import compact_levels, dedup_octave, detect_level
 from hesaff_tpu.ops.linalg import rectify_up_is_up
 from hesaff_tpu.patches import bucket_for, extract_bucket_batch, patch_image_size
 from hesaff_tpu.pipeline import ExtractStats, Features
@@ -39,7 +39,13 @@ from hesaff_tpu.sift import sift_descriptors
 
 
 def _detect_affine_one(image: jnp.ndarray, cfg: HesaffConfig):
-    """Single-image phase A: all octaves -> concatenated dense fields."""
+    """Single-image phase A: all octaves -> concatenated dense fields.
+
+    Per octave: detect on the 3 levels (full masked capacity — cheap),
+    dedup, then COMPACT the accepted keypoints across levels before the
+    expensive affine stage (16 iterations x 361 bilinear gathers per
+    keypoint only runs on real keypoints, not padding).
+    """
     sig = level_sigmas(cfg)
     first, pd = prepare_first_level(image, cfg)
     fields = defaultdict(list)
@@ -55,28 +61,31 @@ def _detect_affine_one(image: jnp.ndarray, cfg: HesaffConfig):
             for l in (1, 2, 3)
         ]
         levels = dedup_octave(levels, H, W)
-        for lvl_i, lk in zip((1, 2, 3), levels):
-            safe = lambda a, d: jnp.where(lk.ok, a, d)
-            ar = adapt_level(
-                o.blurs[lvl_i - 1],
-                safe(lk.x, (W // 2) * pd), safe(lk.y, (H // 2) * pd),
-                safe(lk.s, 2.0 * pd), pd, cfg,
-            )
-            r11, r12, r21, r22 = rectify_up_is_up(
-                ar.u11, ar.u12, ar.u21, ar.u22
-            )
-            fields["ok"].append(lk.ok & ar.ok)
-            fields["det_ok"].append(lk.ok)
-            fields["x"].append(lk.x)
-            fields["y"].append(lk.y)
-            fields["s"].append(lk.s)
-            fields["response"].append(lk.response)
-            fields["type"].append(lk.type)
-            fields["a11"].append(r11)
-            fields["a12"].append(r12)
-            fields["a21"].append(r21)
-            fields["a22"].append(r22)
-            fields["overflow"].append(lk.overflow[None])
+        comp = compact_levels(levels, cfg.affine_capacity(H, W))
+
+        safe = lambda a, d: jnp.where(comp["ok"], a, d)
+        ar = adapt_compacted(
+            o.blurs[:cfg.num_scales],          # prevBlur of levels 1..3
+            comp["level"] - 1,
+            safe(comp["x"], (W // 2) * pd), safe(comp["y"], (H // 2) * pd),
+            safe(comp["s"], 2.0 * pd), pd, cfg,
+        )
+        r11, r12, r21, r22 = rectify_up_is_up(ar.u11, ar.u12, ar.u21, ar.u22)
+        fields["ok"].append(comp["ok"] & ar.ok)
+        fields["det_ok"].append(comp["ok"])
+        fields["x"].append(comp["x"])
+        fields["y"].append(comp["y"])
+        fields["s"].append(comp["s"])
+        fields["response"].append(comp["response"])
+        fields["type"].append(comp["type"])
+        fields["a11"].append(r11)
+        fields["a12"].append(r12)
+        fields["a21"].append(r21)
+        fields["a22"].append(r22)
+        fields["overflow"].append(
+            (comp["overflow"]
+             + sum(lk.overflow for lk in levels))[None]
+        )
         cur = o.next_first
         pd *= 2.0
     return {k: jnp.concatenate(v) for k, v in fields.items()}

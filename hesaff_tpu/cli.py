@@ -52,6 +52,48 @@ def _cmd_extract(args) -> int:
     return 0
 
 
+def _cmd_match(args) -> int:
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import numpy as np
+
+    from hesaff_tpu.config import HesaffConfig
+    from hesaff_tpu.match import match_descriptors
+    from hesaff_tpu.pipeline import extract
+    from hesaff_tpu.ransac import ransac_fundamental, ransac_homography
+    from hesaff_tpu.sift_io import load_image_gray
+
+    cfg = HesaffConfig()
+    f1 = extract(load_image_gray(args.image1), cfg)
+    f2 = extract(load_image_gray(args.image2), cfg)
+    i1, i2 = match_descriptors(f1.desc, f2.desc, ratio=args.ratio)
+    print(f"{f1.n} x {f2.n} features -> {len(i1)} tentative matches")
+    if len(i1) >= 8 and args.verify != "none":
+        p1 = np.stack([f1.x[i1], f1.y[i1]], 1)
+        p2 = np.stack([f2.x[i2], f2.y[i2]], 1)
+        res = (ransac_homography(p1, p2) if args.verify == "homography"
+               else ransac_fundamental(p1, p2))
+        print(f"RANSAC ({args.verify}): {int(res.num_inliers)} inliers")
+    if args.output:
+        np.savez(args.output, idx1=i1, idx2=i2)
+    return 0
+
+
+def _cmd_fleet(args) -> int:
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    from hesaff_tpu.utils.fleet import extract_fleet
+
+    cursor = extract_fleet(args.images, args.out_dir,
+                           batch_size=args.batch_size)
+    print(f"done={len(cursor['done'])} failed={len(cursor['failed'])}")
+    return 0 if not cursor["failed"] else 1
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="hesaff_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -64,6 +106,24 @@ def main(argv=None) -> int:
     pe.add_argument("--platform", default=None,
                     help="override jax platform (e.g. cpu)")
     pe.set_defaults(fn=_cmd_extract)
+
+    pm = sub.add_parser("match", help="match two images (+RANSAC verify)")
+    pm.add_argument("image1")
+    pm.add_argument("image2")
+    pm.add_argument("-o", "--output", default=None)
+    pm.add_argument("--ratio", type=float, default=0.8)
+    pm.add_argument("--verify", default="fundamental",
+                    choices=["none", "homography", "fundamental"])
+    pm.add_argument("--platform", default=None)
+    pm.set_defaults(fn=_cmd_match)
+
+    pf = sub.add_parser("fleet",
+                        help="checkpointed batch extraction over images")
+    pf.add_argument("images", nargs="+")
+    pf.add_argument("--out-dir", required=True)
+    pf.add_argument("--batch-size", type=int, default=8)
+    pf.add_argument("--platform", default=None)
+    pf.set_defaults(fn=_cmd_fleet)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -47,8 +47,13 @@ class HesaffConfig:
     # --- TPU framework knobs (no reference equivalent) ---
     # per-(octave,level) candidate capacity: min(cap_max, max(cap_min, H*W//cap_div))
     candidate_cap_min: int = 64
-    candidate_cap_max: int = 4096
-    candidate_cap_div: int = 64
+    candidate_cap_max: int = 2048
+    candidate_cap_div: int = 128
+    # per-octave capacity of the post-dedup compacted keypoint set that
+    # the (expensive) affine stage runs on — levels share this budget
+    affine_cap_min: int = 128
+    affine_cap_max: int = 4096
+    affine_cap_div: int = 256
     dtype: str = "float32"
 
     # --- derived (reference: HessianDetector ctor, pyramid.h:59-68) ---
@@ -92,6 +97,11 @@ class HesaffConfig:
         """Fixed candidate capacity for one detection level of an octave."""
         cap = max(self.candidate_cap_min, (height * width) // self.candidate_cap_div)
         return min(self.candidate_cap_max, cap)
+
+    def affine_capacity(self, height: int, width: int) -> int:
+        """Compacted per-octave keypoint capacity for affine adaptation."""
+        cap = max(self.affine_cap_min, (height * width) // self.affine_cap_div)
+        return min(self.affine_cap_max, cap)
 
 
 DEFAULT_CONFIG = HesaffConfig()

@@ -246,6 +246,34 @@ def detect_level(low, cur, high, blur, cur_scale: float,
     )
 
 
+def compact_levels(levels: list[LevelKeypoints], capacity: int):
+    """Compact the accepted keypoints of an octave's 3 levels into one
+    fixed-capacity array (emission order preserved: level-major, then
+    raster).  The downstream affine stage is the expensive per-keypoint
+    loop, so it should run on this compacted set, not on the 3x-capacity
+    masked level arrays.
+
+    Returns dict with (capacity,)-shaped fields: ok, level (1-based
+    detection level), x, y, s, response, type, and the overflow count.
+    """
+    ok = jnp.concatenate([lk.ok for lk in levels])
+    n = jnp.sum(ok.astype(jnp.int32))
+    (idx,) = jnp.nonzero(ok, size=capacity, fill_value=0)
+    valid = jnp.arange(capacity) < n
+    overflow = jnp.maximum(n - capacity, 0)
+    cat = lambda f: jnp.concatenate([getattr(lk, f) for lk in levels])[idx]
+    lvl = jnp.concatenate([
+        jnp.full(lk.ok.shape[0], i + 1, jnp.int32)
+        for i, lk in enumerate(levels)
+    ])[idx]
+    return dict(
+        ok=valid, level=lvl,
+        x=cat("x"), y=cat("y"), s=cat("s"),
+        response=cat("response"), type=cat("type"),
+        overflow=overflow,
+    )
+
+
 def dedup_octave(levels: list[LevelKeypoints], H: int, W: int):
     """Emulate the octaveMap first-come-first-marked dedup across levels.
 

@@ -47,25 +47,34 @@ class DenseFeatures(NamedTuple):
     a22: jnp.ndarray
     response: jnp.ndarray
     type: jnp.ndarray
-    desc: jnp.ndarray      # (K, 128) float32 (quantized values)
+    desc: jnp.ndarray      # (K, 128) uint8 quantized descriptors
     overflow: jnp.ndarray  # () int32 — keypoints dropped by capacity
 
 
 def default_bucket_spec(height: int, width: int,
                         cfg: HesaffConfig = DEFAULT_CONFIG,
-                        per_image_cap: int = 512):
+                        per_image_cap: int = 512,
+                        batch: int = 1):
     """Static (bucket_size, capacity) list covering an image size.
 
     Buckets above min(H,W)+2 cannot survive the patch border check, so
-    they are omitted.  Capacities fall off geometrically: keypoint
-    counts drop ~4x per octave while patch sizes double.
+    they are omitted.  Measured keypoint distributions (e.g. 200x160:
+    {25:12 33:17 41:16 49:8 65:22 81:4 97:3 129:3 161:2}) concentrate in
+    the first octave's four buckets plus the octave-2 bucket; capacities
+    follow that shape and scale with the batch.  Overflow is counted by
+    extraction_step, never silent.
     """
     limit = min(height, width) + 2
+    total = per_image_cap * batch
     spec = []
-    cap = per_image_cap
-    for b in BUCKET_SIZES:
+    for i, b in enumerate(BUCKET_SIZES):
+        if b <= 97:
+            cap = total // 2
+        elif b <= 257:
+            cap = total // 8
+        else:
+            cap = total // 32
         spec.append((b, max(32, cap)))
-        cap //= 2
         if b >= limit:
             break
     return tuple(spec)
@@ -130,7 +139,8 @@ def extraction_step(images: jnp.ndarray, cfg: HesaffConfig,
         offset += bcap
         prev = bsize
 
-    descs = sift_descriptors(patches, cfg)
+    # uint8 in-graph: quarters the host transfer through thin links
+    descs = sift_descriptors(patches, cfg).astype(jnp.uint8)
     # keypoints above the largest bucket are dropped; count them
     overflow = overflow + jnp.sum(
         (ok & (ws > buckets[-1][0])).astype(jnp.int32)
@@ -142,6 +152,88 @@ def extraction_step(images: jnp.ndarray, cfg: HesaffConfig,
         a21=feats["a21"], a22=feats["a22"],
         response=feats["response"], type=feats["type"],
         desc=descs, overflow=overflow,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _phase_a_flat(images, cfg: HesaffConfig):
+    """Phase A producing flattened per-keypoint fields (device-resident)."""
+    out = jax.vmap(lambda im: _detect_affine_one(im, cfg))(images)
+    flat = {k: v.reshape(-1) for k, v in out.items() if k != "overflow"}
+    flat["overflow"] = jnp.sum(out["overflow"])
+    return flat
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "bsize", "bcap", "prev", "ncap"))
+def _bucket_select_stage(images, flat, cfg: HesaffConfig, bsize: int,
+                         bcap: int, prev: int, ncap: int):
+    """In-graph bucket selection + patch extraction for one bucket."""
+    ok = flat["ok"]
+    mr_scale = jnp.ceil(flat["s"] * cfg.mr_size)
+    ws = 2 * mr_scale.astype(jnp.int32) + 3
+    m = ok & (ws > prev) & (ws <= bsize)
+    n = jnp.sum(m.astype(jnp.int32))
+    (idx,) = jnp.nonzero(m, size=bcap, fill_value=0)
+    valid = jnp.arange(bcap) < n
+    over = jnp.maximum(n - bcap, 0)
+    gi = (idx // ncap).astype(jnp.int32)
+    args = [flat[k][idx] for k in
+            ("x", "y", "s", "a11", "a12", "a21", "a22")]
+    pk, pok = extract_bucket_batch(images, bsize, gi, *args, cfg)
+    sel = {k: flat[k][idx] for k in
+           ("x", "y", "s", "a11", "a12", "a21", "a22", "response")}
+    sel["type"] = flat["type"][idx].astype(jnp.int32)
+    return pk, valid & pok, gi, sel, over
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _describe_stage(patches, cfg: HesaffConfig):
+    return sift_descriptors(patches, cfg).astype(jnp.uint8)
+
+
+def extraction_step_staged(images, cfg: HesaffConfig,
+                           buckets: Sequence[tuple]) -> DenseFeatures:
+    """Same result as extraction_step but as a chain of small jits.
+
+    All intermediates stay on device (async dispatch chains without host
+    syncs), so the tunnel round-trip cost stays at one upload + one
+    download — while compile cost is a set of small, individually
+    cached programs instead of one giant HLO.
+    """
+    flat = _phase_a_flat(images, cfg)
+    ncap = flat["x"].shape[0] // images.shape[0]  # static per-image slots
+    overflow = flat["overflow"]
+    pieces = []
+    prev = 0
+    for bsize, bcap in buckets:
+        pk, pok, gi, sel, over = _bucket_select_stage(
+            images, flat, cfg, bsize, bcap, prev, ncap
+        )
+        pieces.append((pk, pok, gi, sel))
+        overflow = overflow + over
+        prev = bsize
+
+    patches = jnp.concatenate([p[0] for p in pieces])
+    descs = _describe_stage(patches, cfg)
+    valid = jnp.concatenate([p[1] for p in pieces])
+    img_idx = jnp.concatenate([p[2] for p in pieces])
+    fields = {
+        k: jnp.concatenate([p[3][k] for p in pieces])
+        for k in pieces[0][3]
+    }
+    mr_scale_ws_over = jnp.sum(
+        (flat["ok"] & (2 * jnp.ceil(flat["s"] * cfg.mr_size
+                                    ).astype(jnp.int32) + 3
+                       > buckets[-1][0])).astype(jnp.int32)
+    )
+    return DenseFeatures(
+        valid=valid, img_idx=img_idx,
+        x=fields["x"], y=fields["y"], s=fields["s"],
+        a11=fields["a11"], a12=fields["a12"],
+        a21=fields["a21"], a22=fields["a22"],
+        response=fields["response"], type=fields["type"],
+        desc=descs, overflow=overflow + mr_scale_ws_over,
     )
 
 

@@ -1,0 +1,120 @@
+"""ctypes bridge to the native host runtime (native/hesaff_io.cpp).
+
+Builds the shared library on first use (g++ -O3, cached next to the
+source) and exposes decode/read/write; every entry point has a pure
+Python fallback (sift_io) so the package works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_ROOT, "native", "hesaff_io.cpp")
+_LIB = os.path.join(_ROOT, "native", "libhesaff_io.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            if (not os.path.exists(_LIB)
+                    or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB],
+                    check=True, capture_output=True,
+                )
+            lib = ctypes.CDLL(_LIB)
+        except Exception:
+            return None
+        lib.hesaff_decode_pnm_gray.restype = ctypes.c_int
+        lib.hesaff_decode_pnm_gray.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.hesaff_write_sift.restype = ctypes.c_int
+        lib.hesaff_write_sift.argtypes = [ctypes.c_char_p, ctypes.c_int64] + [
+            ctypes.POINTER(ctypes.c_double)
+        ] * 5 + [ctypes.POINTER(ctypes.c_uint8)]
+        lib.hesaff_read_sift.restype = ctypes.c_int64
+        lib.hesaff_read_sift.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_pnm_gray(data: bytes):
+    """P6/P5 bytes -> (H, W) float32 gray with (R+G+B)/3, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    # header peek for size bound
+    max_pixels = len(data)  # 3 bytes/px for P6 means this always bounds
+    out = np.empty(max_pixels, np.float32)
+    w = ctypes.c_int32()
+    h = ctypes.c_int32()
+    rc = lib.hesaff_decode_pnm_gray(
+        data, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_pixels,
+        ctypes.byref(w), ctypes.byref(h),
+    )
+    if rc != 0:
+        return None
+    return out[: w.value * h.value].reshape(h.value, w.value).copy()
+
+
+def write_sift(path: str, u, v, e00, e01, e11, desc) -> bool:
+    lib = _load()
+    if lib is None:
+        return False
+    n = len(u)
+    arrs = [np.ascontiguousarray(a, np.float64) for a in (u, v, e00, e01, e11)]
+    d = np.ascontiguousarray(desc, np.uint8)
+    rc = lib.hesaff_write_sift(
+        path.encode(), n,
+        *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)) for a in arrs],
+        d.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return rc == 0
+
+
+def read_sift(path: str):
+    lib = _load()
+    if lib is None:
+        return None
+    n = lib.hesaff_read_sift(path.encode(), None, None, 0)
+    if n < 0:
+        return None
+    geom = np.empty((n, 5), np.float64)
+    desc = np.empty((n, 128), np.uint8)
+    got = lib.hesaff_read_sift(
+        path.encode(),
+        geom.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        desc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n,
+    )
+    if got != n:
+        return None
+    return {
+        "u": geom[:, 0], "v": geom[:, 1],
+        "e00": geom[:, 2], "e01": geom[:, 3], "e11": geom[:, 4],
+        "desc": desc,
+    }

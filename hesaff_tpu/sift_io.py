@@ -55,7 +55,15 @@ def write_sift_file(path: str, x, y, s, a11, a12, a21, a22, desc,
 
 
 def write_sift(path: str, u, v, e00, e01, e11, desc) -> None:
-    """Low-level writer: already-computed ellipse params + uint8 desc."""
+    """Low-level writer: already-computed ellipse params + uint8 desc.
+
+    Prefers the native C++ writer (hesaff_tpu.native); Python fallback.
+    """
+    from hesaff_tpu import native
+
+    if native.write_sift(path, u, v, e00, e01, e11,
+                         np.asarray(desc, np.uint8)):
+        return
     desc = np.asarray(desc, np.int64)
     n = len(u)
     lines = [str(128), str(n)]
@@ -70,6 +78,11 @@ def write_sift(path: str, u, v, e00, e01, e11, desc) -> None:
 
 def read_sift_file(path: str):
     """Parse a .hesaff.sift file -> dict of numpy arrays."""
+    from hesaff_tpu import native
+
+    out = native.read_sift(path)
+    if out is not None:
+        return out
     with open(path) as f:
         toks = f.read().split()
     dim = int(toks[0])
@@ -95,6 +108,13 @@ def load_image_gray(path: str) -> np.ndarray:
     with open(path, "rb") as f:
         magic = f.read(2)
     if magic in (b"P6", b"P5"):
+        from hesaff_tpu import native
+
+        with open(path, "rb") as f:
+            data = f.read()
+        out = native.decode_pnm_gray(data)
+        if out is not None:
+            return out
         return _load_pnm_gray(path)
     from PIL import Image  # pragma: no cover - optional path
 

@@ -1,0 +1,107 @@
+"""Checkpointed, failure-isolated fleet extraction (SURVEY.md §5).
+
+The reference drops errors silently and rewrites outputs wholesale; for
+pod-scale corpora the framework needs: per-image error isolation (a bad
+image must not kill the job), restartable progress (shard cursor), and
+per-host work partitioning by index.
+
+`extract_fleet` walks an image list in batches, catches per-batch
+failures (falling back to per-image to isolate the bad one), writes one
+.npz per image (natural checkpoints), and records a cursor file so a
+restarted job resumes where it stopped.  In a multi-host job each host
+calls it with its own index slice (host h takes paths[h::n_hosts]).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import traceback
+from typing import Callable, Sequence
+
+import numpy as np
+
+
+def _default_loader(path: str) -> np.ndarray:
+    from hesaff_tpu.sift_io import load_image_gray
+
+    return load_image_gray(path)
+
+
+def extract_fleet(paths: Sequence[str], out_dir: str, cfg=None,
+                  batch_size: int = 8,
+                  loader: Callable[[str], np.ndarray] = _default_loader,
+                  log: Callable[[str], None] = print):
+    """Extract features for `paths`, checkpointed + failure isolated.
+
+    Writes <out_dir>/<basename>.npz per image and a cursor.json with
+    {done: [...], failed: {path: error}}.  Re-running skips completed
+    images.  Returns the cursor dict.
+    """
+    from hesaff_tpu.batch import extract_batch
+    from hesaff_tpu.config import DEFAULT_CONFIG
+
+    cfg = cfg or DEFAULT_CONFIG
+    os.makedirs(out_dir, exist_ok=True)
+    cursor_path = os.path.join(out_dir, "cursor.json")
+    cursor = {"done": [], "failed": {}}
+    if os.path.exists(cursor_path):
+        with open(cursor_path) as f:
+            cursor = json.load(f)
+    done = set(cursor["done"])
+
+    def save_cursor():
+        tmp = cursor_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cursor, f)
+        os.replace(tmp, cursor_path)
+
+    def write_one(path, feats):
+        base = os.path.splitext(os.path.basename(path))[0]
+        np.savez_compressed(
+            os.path.join(out_dir, base + ".npz"),
+            x=feats.x, y=feats.y, s=feats.s,
+            a11=feats.a11, a12=feats.a12, a21=feats.a21, a22=feats.a22,
+            response=feats.response, type=feats.type, desc=feats.desc,
+        )
+
+    def run_one(path):
+        img = loader(path)
+        feats = extract_batch(img[None], cfg)[0]
+        write_one(path, feats)
+
+    pending = [p for p in paths if p not in done
+               and p not in cursor["failed"]]
+    i = 0
+    while i < len(pending):
+        chunk = pending[i:i + batch_size]
+        i += batch_size
+        try:
+            imgs = [loader(p) for p in chunk]
+            shapes = {im.shape for im in imgs}
+            if len(shapes) == 1 and len(imgs) > 1:
+                from hesaff_tpu.batch import extract_batch
+
+                feats = extract_batch(np.stack(imgs), cfg)
+                for p, f in zip(chunk, feats):
+                    write_one(p, f)
+                    cursor["done"].append(p)
+            else:
+                for p in chunk:
+                    run_one(p)
+                    cursor["done"].append(p)
+        except Exception:
+            # isolate: retry each image alone; only the bad one fails
+            for p in chunk:
+                if p in cursor["done"]:
+                    continue
+                try:
+                    run_one(p)
+                    cursor["done"].append(p)
+                except Exception as e:  # noqa: BLE001 — must not kill job
+                    cursor["failed"][p] = "".join(
+                        traceback.format_exception_only(type(e), e)
+                    ).strip()
+                    log(f"extract_fleet: FAILED {p}: {cursor['failed'][p]}")
+        save_cursor()
+    return cursor

@@ -1,0 +1,47 @@
+"""Retrieval tests: voting correctness + sharded == dense."""
+
+import numpy as np
+
+from hesaff_tpu.retrieval import (
+    build_index,
+    query_votes,
+    rank_images,
+    sharded_query_votes,
+)
+from hesaff_tpu.dist import make_mesh
+
+
+def make_corpus(n_images=12, per_image=60, seed=0):
+    rng = np.random.RandomState(seed)
+    return [rng.randint(0, 255, (per_image, 128)).astype(np.uint8)
+            for _ in range(n_images)]
+
+
+def test_rank_images_finds_source():
+    corpus = make_corpus()
+    index = build_index(corpus)
+    rng = np.random.RandomState(1)
+    # query = noisy subset of image 7's descriptors
+    q = np.clip(corpus[7][:40].astype(np.int32)
+                + rng.randint(-3, 4, (40, 128)), 0, 255).astype(np.uint8)
+    ranked = rank_images(index, q)
+    assert ranked[0][0] == 7
+    assert ranked[0][1] >= 35
+
+
+def test_empty_query():
+    index = build_index(make_corpus())
+    votes, matches = query_votes(index, np.zeros((0, 128), np.uint8))
+    assert votes.sum() == 0 and len(matches) == 0
+
+
+def test_sharded_votes_match_dense():
+    corpus = make_corpus(n_images=10, per_image=48)
+    index = build_index(corpus)
+    rng = np.random.RandomState(2)
+    q = np.clip(corpus[3][:30].astype(np.int32)
+                + rng.randint(-3, 4, (30, 128)), 0, 255).astype(np.uint8)
+    votes_dense, _ = query_votes(index, q, ratio=0.9)
+    mesh = make_mesh()
+    votes_sharded = sharded_query_votes(mesh, index, q, ratio=0.9)
+    np.testing.assert_array_equal(votes_sharded, votes_dense)
