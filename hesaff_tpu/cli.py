@@ -81,6 +81,37 @@ def _cmd_match(args) -> int:
     return 0
 
 
+def _cmd_eval(args) -> int:
+    """Oxford-protocol repeatability between two images + homography file."""
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import numpy as np
+
+    from hesaff_tpu.config import HesaffConfig
+    from hesaff_tpu.evaluate import features_to_ellipses, repeatability
+    from hesaff_tpu.pipeline import extract
+    from hesaff_tpu.sift_io import load_image_gray
+
+    cfg = HesaffConfig()
+    img1 = load_image_gray(args.image1)
+    img2 = load_image_gray(args.image2)
+    H = (np.loadtxt(args.homography) if args.homography
+         else np.eye(3))
+    f1 = extract(img1, cfg)
+    f2 = extract(img2, cfg)
+    r = repeatability(
+        features_to_ellipses(f1, cfg.mr_size),
+        features_to_ellipses(f2, cfg.mr_size),
+        H, img2.shape, f1.desc, f2.desc,
+    )
+    print(f"n1={r.n1} n2={r.n2} correspondences={r.num_correspondences} "
+          f"repeatability={r.repeatability:.3f} "
+          f"matches={r.num_matches} matching_score={r.matching_score:.3f}")
+    return 0
+
+
 def _cmd_fleet(args) -> int:
     import jax
 
@@ -116,6 +147,15 @@ def main(argv=None) -> int:
                     choices=["none", "homography", "fundamental"])
     pm.add_argument("--platform", default=None)
     pm.set_defaults(fn=_cmd_match)
+
+    pv = sub.add_parser("eval",
+                        help="Oxford repeatability of an image pair")
+    pv.add_argument("image1")
+    pv.add_argument("image2")
+    pv.add_argument("--homography", default=None,
+                    help="3x3 homography text file (VGG H1to2p format)")
+    pv.add_argument("--platform", default=None)
+    pv.set_defaults(fn=_cmd_eval)
 
     pf = sub.add_parser("fleet",
                         help="checkpointed batch extraction over images")

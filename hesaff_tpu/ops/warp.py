@@ -10,6 +10,7 @@ keypoint axis gives the batched patch/SMM-window extraction.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -72,6 +73,65 @@ def bilinear_sample_from(stack: jnp.ndarray, idx, wx: jnp.ndarray,
     val = (1.0 - fy) * ((1.0 - fx) * v00 + fx * v01) + fy * (
         (1.0 - fx) * v10 + fx * v11
     )
+    return jnp.where(valid, val, 0.0), jnp.any(~valid)
+
+
+def extract_window(stack: jnp.ndarray, src, cy, cx, win: int):
+    """Per-keypoint square window via dynamic_slice (contiguous, cheap).
+
+    stack: (L, H, W); src scalar level; (cy, cx) float center.  Returns
+    (window (win, win), r0, c0) with the slice clamped into the image.
+    Requires win <= min(H, W) (caller clamps the window size).
+    """
+    H, W = stack.shape[-2], stack.shape[-1]
+    r0 = jnp.clip(cy.astype(jnp.int32) - win // 2, 0, H - win)
+    c0 = jnp.clip(cx.astype(jnp.int32) - win // 2, 0, W - win)
+    w = jax.lax.dynamic_slice(
+        stack, (src, r0, c0), (1, win, win)
+    )[0]
+    return w, r0, c0
+
+
+def onehot_window_sample(window: jnp.ndarray, r0, c0, wy: jnp.ndarray,
+                         wx: jnp.ndarray, img_h: int, img_w: int):
+    """Gather-free bilinear sampling against a local window.
+
+    TPU XLA gathers run ~20 Msamples/s (measured) — orders of magnitude
+    below the VPU/MXU.  Bilinear interpolation factorizes exactly into
+    one-hot matmuls:  val = rowsum((E_y @ window) * E_x)  with E_y, E_x
+    holding the two bilinear weights per sample.  Built with compares
+    against an iota (VPU) + one MXU matmul; identical arithmetic to the
+    direct 4-tap form up to summation order.
+
+    window: (win, win) at origin (r0, c0); wy, wx: (N,) absolute image
+    coords.  Samples outside the image produce 0 and raise `touched`
+    (reference semantics, helpers.cpp:229-239).  Samples inside the
+    image but outside the window also produce 0 — the caller sizes the
+    window so this cannot happen for surviving keypoints.
+    """
+    win = window.shape[0]
+    y0f = jnp.floor(wy)
+    x0f = jnp.floor(wx)
+    valid = (
+        (x0f >= 0) & (y0f >= 0) & (x0f < img_w - 1) & (y0f < img_h - 1)
+    )
+    fy = wy - y0f
+    fx = wx - x0f
+    iota = jnp.arange(win, dtype=jnp.float32)
+    dy = y0f[:, None] - r0.astype(jnp.float32)
+    dx = x0f[:, None] - c0.astype(jnp.float32)
+    ey = iota[None, :] - dy
+    ex = iota[None, :] - dx
+    Ey = jnp.where(ey == 0, 1.0 - fy[:, None],
+                   jnp.where(ey == 1, fy[:, None], 0.0))
+    Ex = jnp.where(ex == 0, 1.0 - fx[:, None],
+                   jnp.where(ex == 1, fx[:, None], 0.0))
+    # HIGHEST precision: TPU would otherwise run the f32 matmul in bf16
+    # passes (~4e-3 relative error on 0..255 pixel values), breaking
+    # oracle parity on threshold decisions
+    t = jnp.dot(Ey, window, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    val = jnp.sum(t * Ex, axis=1)
     return jnp.where(valid, val, 0.0), jnp.any(~valid)
 
 

@@ -89,8 +89,22 @@ def _device_gauss_taps(sigma, ksize, kmax: int):
     return w / jnp.sum(w)
 
 
+def _workspace_window(bucket: int, height: int, width: int):
+    """Static per-keypoint window extents covering the workspace warp.
+
+    The rectified frame is lower-triangular with singular values bounded
+    by the affine stage's sqrt(anisotropy_max) divergence break
+    (sigma1 <= sqrt(6) ~ 2.45): half-extents are (bucket/2)*|a11| <=
+    1.23*bucket in x and (bucket/2)*(|a21|+|a22|) <= 1.74*bucket in y,
+    plus bilinear-tap and centering margins.
+    """
+    wy = min(height, ((int(3.5 * bucket) + 15) // 8) * 8)
+    wx = min(width, ((int(2.5 * bucket) + 15) // 8) * 8)
+    return wy, wx
+
+
 def _warp_workspace(images, idx, bucket: int, x, y, a11, a12, a21, a22, ws):
-    """Clamped-index det-1 workspace warp for one keypoint.
+    """Clamped-index det-1 workspace warp for one keypoint — gather-free.
 
     images: (B, H, W) batch; idx: this keypoint's image.  Output index q
     in [0, bucket); effective grid offset uses min(q, ws-1) - (ws>>1) so
@@ -98,14 +112,56 @@ def _warp_workspace(images, idx, bucket: int, x, y, a11, a12, a21, a22, ws):
     for the later blur).  Returns (workspace (bucket, bucket), touched)
     where `touched` mirrors the reference's drop-if-any-OOB rule
     (affine.cpp:126-134).
+
+    TPU-first formulation (XLA gathers are ~20 Msamples/s): the
+    rectified frame has a12 == 0, so wx depends only on the output
+    column — the bilinear warp factorizes EXACTLY into an x-resample
+    (one small matmul against a per-keypoint window) followed by a
+    per-row one-hot y-resample (scanned, bounded memory):
+
+        xs(y, i)  = sum_x win(y, x) * Ex[i, x]          (MXU)
+        out(j, i) = sum_y Ey[j, i, y] * xs(y, i)        (VPU, scan over j)
     """
+    H, W = images.shape[-2], images.shape[-1]
+    WY, WX = _workspace_window(bucket, H, W)
+    half = (ws >> 1).astype(jnp.float32)
+
+    r0 = jnp.clip(y.astype(jnp.int32) - WY // 2, 0, H - WY)
+    c0 = jnp.clip(x.astype(jnp.int32) - WX // 2, 0, W - WX)
+    win = jax.lax.dynamic_slice(images, (idx, r0, c0), (1, WY, WX))[0]
+
     q = jnp.arange(bucket, dtype=jnp.int32)
-    eff = jnp.minimum(q, ws - 1) - (ws >> 1)
-    effx = eff.astype(jnp.float32)[None, :]
-    effy = eff.astype(jnp.float32)[:, None]
-    wx = x + effx * a11 + effy * a12
-    wy = y + effx * a21 + effy * a22
-    return bilinear_sample_from(images, idx, wx, wy)
+    eff = (jnp.minimum(q, ws - 1).astype(jnp.float32) - half)
+
+    # x-pass: per-column positions, constant across rows
+    wx = x + eff * a11                       # (bucket,)
+    x0f = jnp.floor(wx)
+    fx = wx - x0f
+    valid_x = (x0f >= 0) & (x0f < W - 1)
+    iota_x = jnp.arange(WX, dtype=jnp.float32)
+    dx = iota_x[None, :] - (x0f[:, None] - c0.astype(jnp.float32))
+    Ex = jnp.where(dx == 0, 1.0 - fx[:, None],
+                   jnp.where(dx == 1, fx[:, None], 0.0))   # (bucket, WX)
+    xs = jnp.dot(Ex, win.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)  # (bucket, WY)
+
+    # y-pass: scan over output rows; per row the y positions vary by col
+    iota_y = jnp.arange(WY, dtype=jnp.float32)
+
+    def row(_, effj):
+        wy = y + eff * a21 + effj * a22      # (bucket,)
+        y0f = jnp.floor(wy)
+        fy = wy - y0f
+        valid_y = (y0f >= 0) & (y0f < H - 1)
+        dy = iota_y[None, :] - (y0f[:, None] - r0.astype(jnp.float32))
+        Ey = jnp.where(dy == 0, 1.0 - fy[:, None],
+                       jnp.where(dy == 1, fy[:, None], 0.0))  # (bucket, WY)
+        vals = jnp.sum(Ey * xs, axis=1)      # (bucket,)
+        ok = valid_x & valid_y
+        return None, (jnp.where(ok, vals, 0.0), jnp.any(~ok))
+
+    _, (out, bad) = jax.lax.scan(row, None, eff)
+    return out, jnp.any(bad)
 
 
 def _blur_batched(ws_imgs, taps):
@@ -132,14 +188,26 @@ def _blur_batched(ws_imgs, taps):
 
 
 def _subsample_patch(ws_img, ws, its, patch_size: int):
-    """41x41 bilinear subsample from the blurred workspace center."""
+    """41x41 bilinear subsample from the blurred workspace center.
+
+    Axis-aligned scaling is exactly separable: out = S @ ws_img @ S^T
+    with S the (41, bucket) one-hot bilinear selection matrix — two
+    small MXU matmuls instead of 1681 gathers.
+    """
+    B = ws_img.shape[0]
     half = patch_size >> 1
     i = jnp.arange(-half, half + 1, dtype=jnp.float32)
     ofs = (ws >> 1).astype(jnp.float32)
-    wx = ofs + i[None, :] * its
-    wy = ofs + i[:, None] * its
-    out, _ = bilinear_sample(ws_img, wx, wy)
-    return out
+    p = ofs + i * its                       # (41,)
+    p0 = jnp.floor(p)
+    f = p - p0
+    iota = jnp.arange(B, dtype=jnp.float32)
+    d = iota[None, :] - p0[:, None]
+    S = jnp.where(d == 0, 1.0 - f[:, None],
+                  jnp.where(d == 1, f[:, None], 0.0))  # (41, B)
+    hi = jax.lax.Precision.HIGHEST
+    t = jnp.dot(S, ws_img, preferred_element_type=jnp.float32, precision=hi)
+    return jnp.dot(t, S.T, preferred_element_type=jnp.float32, precision=hi)
 
 
 def extract_bucket_batch(images: jnp.ndarray, bucket: int, img_idx,
