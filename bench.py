@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--width", type=int, default=800)
     ap.add_argument("--height", type=int, default=640)
+    ap.add_argument("--cap", type=int, default=1024,
+                    help="per-image keypoint capacity for bucket sizing")
     args = ap.parse_args()
 
     import jax
@@ -55,7 +57,7 @@ def main():
     ]
     images = jnp.asarray(np.stack(rng_imgs))
     buckets = default_bucket_spec(args.height, args.width, cfg,
-                                  per_image_cap=256, batch=args.batch)
+                                  per_image_cap=args.cap, batch=args.batch)
 
     # staged zero-sync path: chained small jits, device-resident
     # intermediates — one upload, one download per batch (host round

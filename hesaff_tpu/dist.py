@@ -70,11 +70,13 @@ def default_bucket_spec(height: int, width: int,
     for i, b in enumerate(BUCKET_SIZES):
         if b <= 97:
             cap = total // 2
-        elif b <= 257:
+        elif b <= 193:
             cap = total // 8
-        else:
+        elif b <= 385:
             cap = total // 32
-        spec.append((b, max(32, cap)))
+        else:
+            cap = total // 128
+        spec.append((b, max(16, cap)))
         if b >= limit:
             break
     return tuple(spec)
@@ -235,6 +237,32 @@ def extraction_step_staged(images, cfg: HesaffConfig,
         response=fields["response"], type=fields["type"],
         desc=descs, overflow=overflow + mr_scale_ws_over,
     )
+
+
+def init_multihost(coordinator: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None) -> None:
+    """Initialize the multi-host runtime (jax.distributed).
+
+    On TPU pods the arguments auto-detect from the environment; pass
+    them explicitly for CPU/GPU clusters.  After this, jax.devices()
+    spans the slice and the NamedSharding programs in this module place
+    collectives on ICI/DCN (SURVEY.md §5 communication backend).
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def host_shard(items, process_index: int | None = None,
+               process_count: int | None = None):
+    """Partition a work list across hosts by index (host h takes
+    items[h::n]) — the standard per-host sharding for extraction fleets."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return list(items)[pi::pc]
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:

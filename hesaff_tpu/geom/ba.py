@@ -166,6 +166,40 @@ def _lm_step(p: BAProblem, lam, fix_first_cam: bool = True):
     return new, reprojection_rmse(new)
 
 
+def save_checkpoint(path: str, p: BAProblem, lam: float = 1e-3,
+                    iteration: int = 0) -> None:
+    """Checkpoint BA state (params + damping + progress) to an .npz.
+
+    Restartable optimization for long jobs (SURVEY.md §5 checkpoint/
+    resume); the tiny state makes orbax unnecessary at this scale, and
+    the format is host-portable for multi-host restarts.
+    """
+    np.savez_compressed(
+        path,
+        cam_rvec=np.asarray(p.cam_rvec), cam_tvec=np.asarray(p.cam_tvec),
+        points=np.asarray(p.points),
+        f=p.f, cx=p.cx, cy=p.cy,
+        cam_idx=np.asarray(p.cam_idx), pt_idx=np.asarray(p.pt_idx),
+        uv=np.asarray(p.uv), w=np.asarray(p.w),
+        lam=lam, iteration=iteration,
+    )
+
+
+def load_checkpoint(path: str):
+    """Load a BA checkpoint -> (BAProblem, lam, iteration)."""
+    d = np.load(path)
+    p = BAProblem(
+        cam_rvec=jnp.asarray(d["cam_rvec"]),
+        cam_tvec=jnp.asarray(d["cam_tvec"]),
+        points=jnp.asarray(d["points"]),
+        f=float(d["f"]), cx=float(d["cx"]), cy=float(d["cy"]),
+        cam_idx=jnp.asarray(d["cam_idx"]),
+        pt_idx=jnp.asarray(d["pt_idx"]),
+        uv=jnp.asarray(d["uv"]), w=jnp.asarray(d["w"]),
+    )
+    return p, float(d["lam"]), int(d["iteration"])
+
+
 def ba_solve(p: BAProblem, iterations: int = 20, lam0: float = 1e-3,
              fix_first_cam: bool = True, verbose: bool = False):
     """Levenberg–Marquardt with multiplicative damping adaptation.

@@ -89,6 +89,25 @@ def _device_gauss_taps(sigma, ksize, kmax: int):
     return w / jnp.sum(w)
 
 
+def _chunked_vmap(fn, args, chunk: int):
+    """vmap fn over the leading axis in sequential chunks (lax.map).
+
+    Bounds peak memory: the mapped body's temporaries exist for one
+    chunk at a time instead of the full keypoint capacity.
+    """
+    n = args[0].shape[0]
+    pad = (-n) % chunk
+    padded = [jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+              if pad else a for a in args]
+    stacked = [a.reshape(n // chunk + (1 if pad else 0), chunk,
+                         *a.shape[1:]) if pad else
+               a.reshape(n // chunk, chunk, *a.shape[1:]) for a in padded]
+    out = jax.lax.map(lambda xs: jax.vmap(fn)(*xs), tuple(stacked))
+    return jax.tree.map(
+        lambda o: o.reshape(-1, *o.shape[2:])[:n], out
+    )
+
+
 def _workspace_window(bucket: int, height: int, width: int):
     """Static per-keypoint window extents covering the workspace warp.
 
@@ -237,11 +256,18 @@ def extract_bucket_batch(images: jnp.ndarray, bucket: int, img_idx,
     use_blur_branch = (bucket - 2) / P > cfg.oversample_cutoff
     if use_blur_branch:
         kmax = _max_ksize_for_bucket(bucket, P, cfg.patch_smooth_factor)
-        wsp, touched = jax.vmap(
+        H, W = images.shape[-2], images.shape[-1]
+        WY, _ = _workspace_window(bucket, H, W)
+        # chunk the keypoint axis so the y-pass one-hot temporaries
+        # (chunk, bucket, WY) stay within a fixed memory budget
+        kc = max(8, min(x.shape[0], (4 << 20) // (bucket * WY)))
+        wsp, touched = _chunked_vmap(
             lambda ii, xx, yy, b11, b12, b21, b22, w: _warp_workspace(
                 images, ii, bucket, xx, yy, b11, b12, b21, b22, w
-            )
-        )(img_idx, x, y, a11, a12, a21, a22, ws)
+            ),
+            (img_idx, x, y, a11, a12, a21, a22, ws),
+            kc,
+        )
 
         sigma = cfg.patch_smooth_factor * its
         ksz = (2.0 * 3.0 * sigma + 1.0).astype(jnp.int32)
