@@ -26,6 +26,7 @@ import numpy as np
 
 from hesaff_tpu.config import HesaffConfig
 from hesaff_tpu.ops import masks
+from hesaff_tpu.ops.batching import chunked_vmap
 from hesaff_tpu.ops.linalg import eigenvalues_2x2, inv_sqrt_2x2
 from hesaff_tpu.ops.warp import (
     affine_grid,
@@ -168,23 +169,30 @@ def sample_window_size(cfg: HesaffConfig, height: int, width: int) -> int:
 
 
 def adapt_compacted(blur_stack: jnp.ndarray, src_level, x, y, s,
-                    pixel_distance: float,
-                    cfg: HesaffConfig) -> AffineResult:
+                    pixel_distance: float, cfg: HesaffConfig,
+                    active=None) -> AffineResult:
     """Batched adaptation of an octave's compacted keypoints.
 
     blur_stack: (L, H, W) blur ladder; src_level: (K,) index of each
     keypoint's sampling level — detection level minus one, the prevBlur
-    quirk (/root/reference/pyramid.cpp:203).
+    quirk (/root/reference/pyramid.cpp:203).  `active` marks real
+    slots: all-padding chunks skip at runtime.
     """
     mask = jnp.asarray(masks.smm_gauss_mask(cfg.smm_window_size))
     pd = jnp.float32(pixel_distance)
     H, W = blur_stack.shape[-2], blur_stack.shape[-1]
     swin = sample_window_size(cfg, H, W)
-    return jax.vmap(
+    # measured sweet spot on v5e: 512-keypoint chunks (saturates the
+    # chip; smaller serializes, larger spills and loses the skip win)
+    kc = 512
+    return chunked_vmap(
         lambda sl, xx, yy, ss: _adapt_one(
             blur_stack, sl, xx, yy, ss, pd, cfg, mask, swin
-        )
-    )(src_level, x, y, s)
+        ),
+        (src_level, x, y, s),
+        chunk=kc,
+        active=active,
+    )
 
 
 def adapt_level(blur: jnp.ndarray, x, y, s, pixel_distance: float,

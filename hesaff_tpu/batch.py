@@ -61,6 +61,8 @@ def _detect_affine_one(image: jnp.ndarray, cfg: HesaffConfig):
             for l in (1, 2, 3)
         ]
         levels = dedup_octave(levels, H, W)
+        # compact post-dedup survivors so the affine stage's chunks are
+        # densely packed (cond-skip then elides the padding tail)
         comp = compact_levels(levels, cfg.affine_capacity(H, W))
 
         safe = lambda a, d: jnp.where(comp["ok"], a, d)
@@ -69,6 +71,7 @@ def _detect_affine_one(image: jnp.ndarray, cfg: HesaffConfig):
             comp["level"] - 1,
             safe(comp["x"], (W // 2) * pd), safe(comp["y"], (H // 2) * pd),
             safe(comp["s"], 2.0 * pd), pd, cfg,
+            active=comp["ok"],
         )
         r11, r12, r21, r22 = rectify_up_is_up(ar.u11, ar.u12, ar.u21, ar.u22)
         fields["ok"].append(comp["ok"] & ar.ok)
@@ -83,8 +86,7 @@ def _detect_affine_one(image: jnp.ndarray, cfg: HesaffConfig):
         fields["a21"].append(r21)
         fields["a22"].append(r22)
         fields["overflow"].append(
-            (comp["overflow"]
-             + sum(lk.overflow for lk in levels))[None]
+            (comp["overflow"] + sum(lk.overflow for lk in levels))[None]
         )
         cur = o.next_first
         pd *= 2.0
@@ -99,9 +101,10 @@ def detect_affine_batch(images: jnp.ndarray, cfg: HesaffConfig):
 
 @functools.partial(jax.jit, static_argnames=("bucket", "cfg"))
 def _bucket_stage(images, bucket: int, img_idx, x, y, s,
-                  a11, a12, a21, a22, cfg: HesaffConfig):
+                  a11, a12, a21, a22, active, cfg: HesaffConfig):
     return extract_bucket_batch(
-        images, bucket, img_idx, x, y, s, a11, a12, a21, a22, cfg
+        images, bucket, img_idx, x, y, s, a11, a12, a21, a22, cfg,
+        active=active,
     )
 
 
@@ -154,6 +157,7 @@ def extract_batch(images, cfg: HesaffConfig = DEFAULT_CONFIG,
                 jnp.asarray(img_idx[sel].astype(np.int32)),
                 *(jnp.asarray(fields[k][sel]) for k in
                   ("x", "y", "s", "a11", "a12", "a21", "a22")),
+                jnp.arange(npad) < len(idx),
                 cfg,
             )
             patches[idx] = np.asarray(pk)[: len(idx)]

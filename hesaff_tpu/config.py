@@ -98,6 +98,12 @@ class HesaffConfig:
         cap = max(self.candidate_cap_min, (height * width) // self.candidate_cap_div)
         return min(self.candidate_cap_max, cap)
 
+    def octave_candidate_capacity(self, height: int, width: int) -> int:
+        """Pre-localization candidate capacity for a whole octave (all
+        detection levels compacted together)."""
+        cap = max(256, (height * width) // 96)
+        return min(2 * self.candidate_cap_max, cap)
+
     def affine_capacity(self, height: int, width: int) -> int:
         """Compacted per-octave keypoint capacity for affine adaptation."""
         cap = max(self.affine_cap_min, (height * width) // self.affine_cap_div)

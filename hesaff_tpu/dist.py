@@ -68,15 +68,16 @@ def default_bucket_spec(height: int, width: int,
     total = per_image_cap * batch
     spec = []
     for i, b in enumerate(BUCKET_SIZES):
+        # generous caps cost little: all-padding chunks skip at runtime
         if b <= 97:
             cap = total // 2
         elif b <= 193:
             cap = total // 8
         elif b <= 385:
-            cap = total // 32
+            cap = max(64, total // 32)
         else:
-            cap = total // 128
-        spec.append((b, max(16, cap)))
+            cap = max(32, total // 128)
+        spec.append((b, cap))
         if b >= limit:
             break
     return tuple(spec)
@@ -130,7 +131,7 @@ def extraction_step(images: jnp.ndarray, cfg: HesaffConfig,
         args = [flat[k][idx] for k in
                 ("x", "y", "s", "a11", "a12", "a21", "a22")]
         pk, pok = extract_bucket_batch(
-            images, bsize, gi, *args, cfg
+            images, bsize, gi, *args, cfg, active=valid
         )
         sl = slice(offset, offset + bcap)
         patches = patches.at[sl].set(pk)
@@ -182,7 +183,8 @@ def _bucket_select_stage(images, flat, cfg: HesaffConfig, bsize: int,
     gi = (idx // ncap).astype(jnp.int32)
     args = [flat[k][idx] for k in
             ("x", "y", "s", "a11", "a12", "a21", "a22")]
-    pk, pok = extract_bucket_batch(images, bsize, gi, *args, cfg)
+    pk, pok = extract_bucket_batch(images, bsize, gi, *args, cfg,
+                                   active=valid)
     sel = {k: flat[k][idx] for k in
            ("x", "y", "s", "a11", "a12", "a21", "a22", "response")}
     sel["type"] = flat["type"][idx].astype(jnp.int32)

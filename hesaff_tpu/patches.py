@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hesaff_tpu.config import HesaffConfig
+from hesaff_tpu.ops.batching import chunked_vmap as _chunked_vmap
 from hesaff_tpu.ops.warp import (
     bilinear_sample,
     bilinear_sample_from,
@@ -87,25 +88,6 @@ def _device_gauss_taps(sigma, ksize, kmax: int):
     w = jnp.exp(-(off * off) / (2.0 * sigma * sigma))
     w = jnp.where(jnp.abs(off) <= r_true, w, 0.0)
     return w / jnp.sum(w)
-
-
-def _chunked_vmap(fn, args, chunk: int):
-    """vmap fn over the leading axis in sequential chunks (lax.map).
-
-    Bounds peak memory: the mapped body's temporaries exist for one
-    chunk at a time instead of the full keypoint capacity.
-    """
-    n = args[0].shape[0]
-    pad = (-n) % chunk
-    padded = [jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
-              if pad else a for a in args]
-    stacked = [a.reshape(n // chunk + (1 if pad else 0), chunk,
-                         *a.shape[1:]) if pad else
-               a.reshape(n // chunk, chunk, *a.shape[1:]) for a in padded]
-    out = jax.lax.map(lambda xs: jax.vmap(fn)(*xs), tuple(stacked))
-    return jax.tree.map(
-        lambda o: o.reshape(-1, *o.shape[2:])[:n], out
-    )
 
 
 def _workspace_window(bucket: int, height: int, width: int):
@@ -183,25 +165,25 @@ def _warp_workspace(images, idx, bucket: int, x, y, a11, a12, a21, a22, ws):
     return out, jnp.any(bad)
 
 
-def _blur_batched(ws_imgs, taps):
-    """Separable shift-and-add blur with edge replication.
+def _blur_one(ws_img, taps):
+    """Separable shift-and-add blur with edge replication (one keypoint).
 
-    ws_imgs: (K, B, B); taps: (K, kmax). Edge replication at the buffer
+    ws_img: (B, B); taps: (kmax,). Edge replication at the buffer
     boundary equals replication at the true workspace boundary because
     the warp already clamped indices beyond ws-1.
     """
-    K, B, _ = ws_imgs.shape
-    kmax = taps.shape[1]
+    B = ws_img.shape[0]
+    kmax = taps.shape[0]
     r = kmax // 2
-    p = jnp.pad(ws_imgs, ((0, 0), (r, r), (0, 0)), mode="edge")
+    p = jnp.pad(ws_img, ((r, r), (0, 0)), mode="edge")
     acc = None
     for i in range(kmax):
-        t = taps[:, i][:, None, None] * jax.lax.slice_in_dim(p, i, i + B, axis=1)
+        t = taps[i] * jax.lax.slice_in_dim(p, i, i + B, axis=0)
         acc = t if acc is None else acc + t
-    p = jnp.pad(acc, ((0, 0), (0, 0), (r, r)), mode="edge")
+    p = jnp.pad(acc, ((0, 0), (r, r)), mode="edge")
     acc = None
     for i in range(kmax):
-        t = taps[:, i][:, None, None] * jax.lax.slice_in_dim(p, i, i + B, axis=2)
+        t = taps[i] * jax.lax.slice_in_dim(p, i, i + B, axis=1)
         acc = t if acc is None else acc + t
     return acc
 
@@ -230,11 +212,14 @@ def _subsample_patch(ws_img, ws, its, patch_size: int):
 
 
 def extract_bucket_batch(images: jnp.ndarray, bucket: int, img_idx,
-                         x, y, s, a11, a12, a21, a22, cfg: HesaffConfig):
+                         x, y, s, a11, a12, a21, a22, cfg: HesaffConfig,
+                         active=None):
     """Batched patch extraction for keypoints assigned to one bucket.
 
     images: (B, H, W); img_idx + remaining array args: (K,) per-keypoint
     (keypoints may come from different images — cross-batch bucketing).
+    `active` (K,) bool marks real (non-padding) slots: all-padding
+    chunks of the keypoint axis are skipped at runtime.
     Returns (patches (K, P, P), ok (K,)).  ok=False for keypoints whose
     patch touches the image boundary (corner pre-check, affine.cpp:112,
     or full-warp check, affine.cpp:126).
@@ -256,29 +241,31 @@ def extract_bucket_batch(images: jnp.ndarray, bucket: int, img_idx,
     use_blur_branch = (bucket - 2) / P > cfg.oversample_cutoff
     if use_blur_branch:
         kmax = _max_ksize_for_bucket(bucket, P, cfg.patch_smooth_factor)
-        H, W = images.shape[-2], images.shape[-1]
         WY, _ = _workspace_window(bucket, H, W)
-        # chunk the keypoint axis so the y-pass one-hot temporaries
-        # (chunk, bucket, WY) stay within a fixed memory budget
-        kc = max(8, min(x.shape[0], (4 << 20) // (bucket * WY)))
-        wsp, touched = _chunked_vmap(
-            lambda ii, xx, yy, b11, b12, b21, b22, w: _warp_workspace(
-                images, ii, bucket, xx, yy, b11, b12, b21, b22, w
-            ),
-            (img_idx, x, y, a11, a12, a21, a22, ws),
-            kc,
-        )
+        # chunk the keypoint axis so per-chunk temporaries (one-hot
+        # y-pass (chunk, bucket, WY), workspace, blur, subsample) stay
+        # within a fixed memory budget; each chunk runs warp -> blur ->
+        # subsample end to end and only (chunk, P, P) patches survive
+        kc = max(8, min(x.shape[0], (16 << 20) // (bucket * WY)))
 
-        sigma = cfg.patch_smooth_factor * its
-        ksz = (2.0 * 3.0 * sigma + 1.0).astype(jnp.int32)
-        ksz = ksz + 1 - (ksz % 2)  # make odd (round up like size++)
-        taps = jax.vmap(lambda sg, kz: _device_gauss_taps(sg, kz, kmax))(
-            sigma, ksz
+        def chunk_fn(ii, xx, yy, b11, b12, b21, b22, w, itss):
+            wsp, touched = _warp_workspace(
+                images, ii, bucket, xx, yy, b11, b12, b21, b22, w
+            )
+            sigma = cfg.patch_smooth_factor * itss
+            ksz = (2.0 * 3.0 * sigma + 1.0).astype(jnp.int32)
+            ksz = ksz + 1 - (ksz % 2)  # make odd (round up like size++)
+            taps = _device_gauss_taps(sigma, ksz, kmax)
+            blurred = _blur_one(wsp, taps)
+            patch = _subsample_patch(blurred, w, itss, P)
+            return patch, touched
+
+        patches, touched = _chunked_vmap(
+            chunk_fn,
+            (img_idx, x, y, a11, a12, a21, a22, ws, its),
+            kc,
+            active=active,
         )
-        blurred = _blur_batched(wsp, taps)
-        patches = jax.vmap(
-            lambda im, w, itss: _subsample_patch(im, w, itss, P)
-        )(blurred, ws, its)
         ok = ~corner_bad & ~touched
     else:
         patches, touched = jax.vmap(
