@@ -168,30 +168,45 @@ def sample_window_size(cfg: HesaffConfig, height: int, width: int) -> int:
     return max(8, min(win, height, width))
 
 
-def adapt_compacted(blur_stack: jnp.ndarray, src_level, x, y, s,
-                    pixel_distance: float, cfg: HesaffConfig,
-                    active=None) -> AffineResult:
-    """Batched adaptation of an octave's compacted keypoints.
+def adapt_flat(blur_stacks: jnp.ndarray, img_idx, src_level, x, y, s,
+               pixel_distance: float, cfg: HesaffConfig,
+               active=None) -> AffineResult:
+    """Batched adaptation of cross-image flattened keypoints.
 
-    blur_stack: (L, H, W) blur ladder; src_level: (K,) index of each
-    keypoint's sampling level — detection level minus one, the prevBlur
-    quirk (/root/reference/pyramid.cpp:203).  `active` marks real
-    slots: all-padding chunks skip at runtime.
+    blur_stacks: (B, L, H, W) blur ladders for the whole image batch;
+    img_idx / src_level: (K,) each keypoint's image and sampling level
+    (detection level minus one — the prevBlur quirk, pyramid.cpp:203).
+
+    Runs OUTSIDE any vmap so the chunked cond-skip genuinely elides
+    padding chunks at runtime (a vmapped lax.cond executes both
+    branches and skips nothing).
     """
     mask = jnp.asarray(masks.smm_gauss_mask(cfg.smm_window_size))
     pd = jnp.float32(pixel_distance)
-    H, W = blur_stack.shape[-2], blur_stack.shape[-1]
+    B, L, H, W = blur_stacks.shape
     swin = sample_window_size(cfg, H, W)
+    flat = blur_stacks.reshape(B * L, H, W)
     # measured sweet spot on v5e: 512-keypoint chunks (saturates the
     # chip; smaller serializes, larger spills and loses the skip win)
     kc = 512
     return chunked_vmap(
-        lambda sl, xx, yy, ss: _adapt_one(
-            blur_stack, sl, xx, yy, ss, pd, cfg, mask, swin
+        lambda ii, sl, xx, yy, ss: _adapt_one(
+            flat, ii * L + sl, xx, yy, ss, pd, cfg, mask, swin
         ),
-        (src_level, x, y, s),
+        (img_idx, src_level, x, y, s),
         chunk=kc,
         active=active,
+    )
+
+
+def adapt_compacted(blur_stack: jnp.ndarray, src_level, x, y, s,
+                    pixel_distance: float, cfg: HesaffConfig,
+                    active=None) -> AffineResult:
+    """Batched adaptation of one octave's compacted keypoints
+    (single-image convenience wrapper around adapt_flat)."""
+    return adapt_flat(
+        blur_stack[None], jnp.zeros(jnp.shape(x), jnp.int32),
+        src_level, x, y, s, pixel_distance, cfg, active=active,
     )
 
 

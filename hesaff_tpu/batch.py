@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hesaff_tpu.affine_shape import adapt_compacted
 from hesaff_tpu.config import DEFAULT_CONFIG, HesaffConfig
 from hesaff_tpu.detect import compact_levels, dedup_octave, detect_level
 from hesaff_tpu.ops.linalg import rectify_up_is_up
@@ -32,71 +31,88 @@ from hesaff_tpu.pipeline import ExtractStats, Features
 from hesaff_tpu.pyramid import (
     build_octave,
     level_sigmas,
-    octave_shapes,
     prepare_first_level,
 )
 from hesaff_tpu.sift import sift_descriptors
 
 
-def _detect_affine_one(image: jnp.ndarray, cfg: HesaffConfig):
-    """Single-image phase A: all octaves -> concatenated dense fields.
-
-    Per octave: detect on the 3 levels (full masked capacity — cheap),
-    dedup, then COMPACT the accepted keypoints across levels before the
-    expensive affine stage (16 iterations x 361 bilinear gathers per
-    keypoint only runs on real keypoints, not padding).
-    """
-    sig = level_sigmas(cfg)
-    first, pd = prepare_first_level(image, cfg)
-    fields = defaultdict(list)
-    cur = first
-    while (cur.shape[0] > cfg.min_octave_size
-           and cur.shape[1] > cfg.min_octave_size):
-        H, W = cur.shape
-        o = build_octave(cur, pd, cfg)
-        cap = cfg.level_capacity(H, W)
-        levels = [
-            detect_level(o.resps[l - 1], o.resps[l], o.resps[l + 1],
-                         o.blurs[l], sig[l], pd, cap, cfg)
-            for l in (1, 2, 3)
-        ]
-        levels = dedup_octave(levels, H, W)
-        # compact post-dedup survivors so the affine stage's chunks are
-        # densely packed (cond-skip then elides the padding tail)
-        comp = compact_levels(levels, cfg.affine_capacity(H, W))
-
-        safe = lambda a, d: jnp.where(comp["ok"], a, d)
-        ar = adapt_compacted(
-            o.blurs[:cfg.num_scales],          # prevBlur of levels 1..3
-            comp["level"] - 1,
-            safe(comp["x"], (W // 2) * pd), safe(comp["y"], (H // 2) * pd),
-            safe(comp["s"], 2.0 * pd), pd, cfg,
-            active=comp["ok"],
-        )
-        r11, r12, r21, r22 = rectify_up_is_up(ar.u11, ar.u12, ar.u21, ar.u22)
-        fields["ok"].append(comp["ok"] & ar.ok)
-        fields["det_ok"].append(comp["ok"])
-        fields["x"].append(comp["x"])
-        fields["y"].append(comp["y"])
-        fields["s"].append(comp["s"])
-        fields["response"].append(comp["response"])
-        fields["type"].append(comp["type"])
-        fields["a11"].append(r11)
-        fields["a12"].append(r12)
-        fields["a21"].append(r21)
-        fields["a22"].append(r22)
-        fields["overflow"].append(
-            (comp["overflow"] + sum(lk.overflow for lk in levels))[None]
-        )
-        cur = o.next_first
-        pd *= 2.0
-    return {k: jnp.concatenate(v) for k, v in fields.items()}
+def _detect_one_octave(resps, blurs, sig, pd: float, cfg: HesaffConfig):
+    """Per-image detection for one octave -> compacted keypoint dict."""
+    H, W = resps.shape[-2], resps.shape[-1]
+    cap = cfg.level_capacity(H, W)
+    levels = [
+        detect_level(resps[l - 1], resps[l], resps[l + 1],
+                     blurs[l], sig[l], pd, cap, cfg)
+        for l in (1, 2, 3)
+    ]
+    levels = dedup_octave(levels, H, W)
+    comp = compact_levels(levels, cfg.affine_capacity(H, W))
+    comp["overflow"] = comp["overflow"] + sum(lk.overflow for lk in levels)
+    return comp
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def detect_affine_batch(images: jnp.ndarray, cfg: HesaffConfig):
-    """Phase A over an image batch: (B, H, W) -> dict of (B, N_cap)."""
-    return jax.vmap(lambda im: _detect_affine_one(im, cfg))(images)
+    """Phase A over an image batch: (B, H, W) -> dict of (B, N_cap).
+
+    Pyramid + detection vmap per image; the expensive affine stage runs
+    once per octave over the CROSS-IMAGE flattened compacted keypoints —
+    outside the vmap, so its chunked cond-skip genuinely elides padding
+    (a vmapped lax.cond executes both branches).
+    """
+    from hesaff_tpu.affine_shape import adapt_flat
+
+    B = images.shape[0]
+    sig = level_sigmas(cfg)
+
+    def prep(im):
+        first, _ = prepare_first_level(im, cfg)
+        return first
+
+    cur = jax.vmap(prep)(images)
+    pd = 0.5 if cfg.upscale_input else 1.0
+
+    fields = defaultdict(list)
+    while (cur.shape[-2] > cfg.min_octave_size
+           and cur.shape[-1] > cfg.min_octave_size):
+        H, W = cur.shape[-2], cur.shape[-1]
+
+        def oct_fn(f):
+            o = build_octave(f, pd, cfg)
+            return o.blurs, o.resps, o.next_first
+
+        blurs, resps, nxt = jax.vmap(oct_fn)(cur)
+        comp = jax.vmap(
+            lambda r, b: _detect_one_octave(r, b, sig, pd, cfg)
+        )(resps, blurs)
+
+        cap = comp["ok"].shape[1]
+        flat = {k: v.reshape(-1) for k, v in comp.items()
+                if k != "overflow"}
+        img_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), cap)
+        safe = lambda a, d: jnp.where(flat["ok"], a, d)
+        ar = adapt_flat(
+            blurs[:, :cfg.num_scales],      # prevBlur of levels 1..3
+            img_idx,
+            flat["level"] - 1,
+            safe(flat["x"], (W // 2) * pd), safe(flat["y"], (H // 2) * pd),
+            safe(flat["s"], 2.0 * pd), pd, cfg,
+            active=flat["ok"],
+        )
+        r11, r12, r21, r22 = rectify_up_is_up(ar.u11, ar.u12, ar.u21, ar.u22)
+        shp = (B, cap)
+        fields["ok"].append((flat["ok"] & ar.ok).reshape(shp))
+        fields["det_ok"].append(flat["ok"].reshape(shp))
+        for k in ("x", "y", "s", "response", "type"):
+            fields[k].append(flat[k].reshape(shp))
+        fields["a11"].append(r11.reshape(shp))
+        fields["a12"].append(r12.reshape(shp))
+        fields["a21"].append(r21.reshape(shp))
+        fields["a22"].append(r22.reshape(shp))
+        fields["overflow"].append(comp["overflow"][:, None])
+        cur = nxt
+        pd *= 2.0
+    return {k: jnp.concatenate(v, axis=1) for k, v in fields.items()}
 
 
 @functools.partial(jax.jit, static_argnames=("bucket", "cfg"))

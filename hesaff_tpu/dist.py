@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from hesaff_tpu.batch import _detect_affine_one
+from hesaff_tpu.batch import detect_affine_batch
 from hesaff_tpu.config import DEFAULT_CONFIG, HesaffConfig
 from hesaff_tpu.patches import BUCKET_SIZES, extract_bucket_batch
 from hesaff_tpu.sift import sift_descriptors
@@ -97,7 +97,7 @@ def extraction_step(images: jnp.ndarray, cfg: HesaffConfig,
     O(keypoint) scalars, not images).
     """
     B = images.shape[0]
-    out = jax.vmap(lambda im: _detect_affine_one(im, cfg))(images)
+    out = detect_affine_batch(images, cfg)
 
     ncap = out["ok"].shape[1]
     flat = {k: v.reshape(-1) for k, v in out.items() if k != "overflow"}
@@ -161,7 +161,7 @@ def extraction_step(images: jnp.ndarray, cfg: HesaffConfig,
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _phase_a_flat(images, cfg: HesaffConfig):
     """Phase A producing flattened per-keypoint fields (device-resident)."""
-    out = jax.vmap(lambda im: _detect_affine_one(im, cfg))(images)
+    out = detect_affine_batch(images, cfg)
     flat = {k: v.reshape(-1) for k, v in out.items() if k != "overflow"}
     flat["overflow"] = jnp.sum(out["overflow"])
     return flat

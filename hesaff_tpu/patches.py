@@ -246,7 +246,15 @@ def extract_bucket_batch(images: jnp.ndarray, bucket: int, img_idx,
         # y-pass (chunk, bucket, WY), workspace, blur, subsample) stay
         # within a fixed memory budget; each chunk runs warp -> blur ->
         # subsample end to end and only (chunk, P, P) patches survive
-        kc = max(8, min(x.shape[0], (16 << 20) // (bucket * WY)))
+        # chunk sizing: the y-pass streams chunk*bucket*WY one-hot temps
+        # per row-step, so total traffic ~ chunk*bucket^2*WY. Large
+        # buckets hold few real keypoints — tiny chunks let cond-skip
+        # elide nearly all padding; small dense buckets want large
+        # chunks for parallelism.
+        if bucket > 200:
+            kc = 16
+        else:
+            kc = max(8, min(x.shape[0], (16 << 20) // (bucket * WY)))
 
         def chunk_fn(ii, xx, yy, b11, b12, b21, b22, w, itss):
             wsp, touched = _warp_workspace(
