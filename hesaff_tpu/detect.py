@@ -100,76 +100,77 @@ def compact_candidates(mask: jnp.ndarray, capacity: int):
     return rows.astype(jnp.int32), cols.astype(jnp.int32), valid, overflow
 
 
-def _deriv_at(stack, r, c):
-    """3x3x3 window of (low, cur, high) around (r, c) -> derivative terms.
+def _localization_maps(low, cur, high, cfg: HesaffConfig):
+    """Dense per-pixel localization solve (TPU-first reformulation).
 
-    stack: (3, H, W). Returns dict of the 3D Hessian and gradient entries
-    used by localizeKeypoint (pyramid.cpp:137-162).
+    The reference solves the 3x3 quadratic fit only at visited pixels
+    (pyramid.cpp:132-171); on TPU the per-candidate gathers cost far
+    more than just solving EVERYWHERE with VPU stencils.  Returns
+    (maps (H, W, 4) = [b0, b1, b2, peak_val], edge_bad (H, W)); the
+    per-candidate walk then reads 4 contiguous floats per step.
+    Identical arithmetic per pixel — the solve only depends on position.
     """
-    w = jax.lax.dynamic_slice(stack, (0, r - 1, c - 1), (3, 3, 3))
-    low, cur, high = w[0], w[1], w[2]
-    dxx = cur[1, 0] - 2.0 * cur[1, 1] + cur[1, 2]
-    dyy = cur[0, 1] - 2.0 * cur[1, 1] + cur[2, 1]
-    dss = low[1, 1] - 2.0 * cur[1, 1] + high[1, 1]
-    dxy = 0.25 * (cur[2, 2] - cur[2, 0] - cur[0, 2] + cur[0, 0])
-    dxs = 0.25 * (high[1, 2] - high[1, 0] - low[1, 2] + low[1, 0])
-    dys = 0.25 * (high[2, 1] - high[0, 1] - low[2, 1] + low[0, 1])
-    dx = 0.5 * (cur[1, 2] - cur[1, 0])
-    dy = 0.5 * (cur[2, 1] - cur[0, 1])
-    ds = 0.5 * (high[1, 1] - low[1, 1])
-    center = cur[1, 1]
-    return dxx, dyy, dss, dxy, dxs, dys, dx, dy, ds, center
+    def sh(a, dr, dc):
+        p = jnp.pad(a, 1, mode="edge")
+        H, W = a.shape
+        return p[1 + dr : 1 + dr + H, 1 + dc : 1 + dc + W]
+
+    c = cur
+    dxx = sh(c, 0, -1) - 2.0 * c + sh(c, 0, 1)
+    dyy = sh(c, -1, 0) - 2.0 * c + sh(c, 1, 0)
+    dss = low - 2.0 * c + high
+    dxy = 0.25 * (sh(c, 1, 1) - sh(c, 1, -1) - sh(c, -1, 1) + sh(c, -1, -1))
+    dxs = 0.25 * (sh(high, 0, 1) - sh(high, 0, -1)
+                  - sh(low, 0, 1) + sh(low, 0, -1))
+    dys = 0.25 * (sh(high, 1, 0) - sh(high, -1, 0)
+                  - sh(low, 1, 0) + sh(low, -1, 0))
+    dx = 0.5 * (sh(c, 0, 1) - sh(c, 0, -1))
+    dy = 0.5 * (sh(c, 1, 0) - sh(c, -1, 0))
+    ds = 0.5 * (high - low)
+
+    A = jnp.stack(
+        [
+            jnp.stack([dxx, dxy, dxs], -1),
+            jnp.stack([dxy, dyy, dys], -1),
+            jnp.stack([dxs, dys, dss], -1),
+        ],
+        -2,
+    )  # (H, W, 3, 3)
+    rhs = -jnp.stack([dx, dy, ds], -1)
+    b = solve3x3(A, rhs)  # (H, W, 3)
+    val = c + 0.5 * (dx * b[..., 0] + dy * b[..., 1] + ds * b[..., 2])
+
+    edge_den = dxx * dyy - dxy * dxy
+    edge_score = (dxx + dyy) * (dxx + dyy) / edge_den
+    edge_bad = (edge_score >= cfg.edge_score_threshold) | (edge_score < 0)
+    return jnp.concatenate([b, val[..., None]], axis=-1), edge_bad
 
 
-def _localize_one(stack, blur, r0, c0, cur_scale, pixel_distance,
-                  rows, cols, cfg: HesaffConfig):
-    """Bounded iterative 3D quadratic refinement for one candidate.
+def _walk_one(maps, edge_bad, blur, r0, c0, cur_scale, pixel_distance,
+              rows, cols, cfg: HesaffConfig):
+    """Per-candidate bounded walk over the dense localization maps.
 
-    Straight-line masked version of localizeKeypoint
-    (/root/reference/pyramid.cpp:122-204): up to 5 iterations, each moving
-    at most +-1 px in x and y (scale never moves), edge rejection on the
-    first iteration only, rejection on NaN solutions and on walking into
-    the safety border.
+    Decision logic identical to _localize_one; each step reads the
+    precomputed (b, val) at the current cell (4 contiguous floats).
     """
     r = r0
     c = c0
     b = jnp.zeros(3, jnp.float32)
     val = jnp.float32(0.0)
-    alive = jnp.bool_(True)      # still iterating, not rejected
-    rejected = jnp.bool_(False)  # hard reject (edge/NaN/border walk)
+    alive = ~jax.lax.dynamic_slice(edge_bad, (r0, c0), (1, 1))[0, 0]
+    rejected = ~alive
     converged = jnp.bool_(False)
 
     for it in range(cfg.localize_iterations):
-        dxx, dyy, dss, dxy, dxs, dys, dx, dy, ds, center = _deriv_at(
-            stack, r, c
-        )
-        if it == 0:
-            edge_den = dxx * dyy - dxy * dxy
-            edge_score = (dxx + dyy) * (dxx + dyy) / edge_den
-            edge_bad = (edge_score >= cfg.edge_score_threshold) | (
-                edge_score < 0
-            )
-            rejected = rejected | (alive & edge_bad)
-            alive = alive & ~edge_bad
-
-        A = jnp.stack(
-            [
-                jnp.stack([dxx, dxy, dxs]),
-                jnp.stack([dxy, dyy, dys]),
-                jnp.stack([dxs, dys, dss]),
-            ]
-        )
-        rhs = -jnp.stack([dx, dy, ds])
-        sol = solve3x3(A, rhs)
+        v = jax.lax.dynamic_slice(maps, (r, c, 0), (1, 1, 4))[0, 0]
+        sol = v[:3]
         nan_bad = jnp.any(jnp.isnan(sol))
         rejected = rejected | (alive & nan_bad)
         alive = alive & ~nan_bad
 
-        new_val = center + 0.5 * (dx * sol[0] + dy * sol[1] + ds * sol[2])
         b = jnp.where(alive, sol, b)
-        val = jnp.where(alive, new_val, val)
+        val = jnp.where(alive, v[3], val)
 
-        # +-1 px walk with safety-border rejection (pyramid.cpp:174-177)
         move_px = sol[0] > cfg.max_subpixel_shift
         move_nx = sol[0] < -cfg.max_subpixel_shift
         move_py = sol[1] > cfg.max_subpixel_shift
@@ -185,19 +186,12 @@ def _localize_one(stack, blur, r0, c0, cur_scale, pixel_distance,
         dc = jnp.where(move_px, 1, 0) + jnp.where(move_nx, -1, 0)
         dr = jnp.where(move_py, 1, 0) + jnp.where(move_ny, -1, 0)
         moved = (dc != 0) | (dr != 0)
-        just_conv = alive & ~moved
-        converged = converged | just_conv
+        converged = converged | (alive & ~moved)
         alive = alive & moved
-
-        # the reference only adopts a move at the TOP of the next iteration
-        # (r = nr; c = nc, pyramid.cpp:135), so a move decided on the final
-        # iteration is never applied: the output/dedup cell stays at the
-        # last *evaluated* position.
         if it < cfg.localize_iterations - 1:
             c = jnp.where(alive, c + dc, c)
             r = jnp.where(alive, r + dr, r)
 
-    # final acceptance (pyramid.cpp:189-190); octaveMap handled by caller
     lim = cfg.final_shift_limit
     shift_bad = (
         (jnp.abs(b[0]) > lim) | (jnp.abs(b[1]) > lim) | (jnp.abs(b[2]) > lim)
@@ -206,7 +200,6 @@ def _localize_one(stack, blur, r0, c0, cur_scale, pixel_distance,
     ok = ~rejected & ~shift_bad & ~weak
 
     scale = cur_scale * jnp.exp2(b[2] / cfg.num_scales)
-    # point type from the blur image at the final cell (pyramid.cpp:24-37,199)
     brow = jax.lax.dynamic_slice(blur, (r, c - 1), (1, 3))[0]
     lxx = brow[0] - 2.0 * brow[1] + brow[2]
     ptype = jnp.where(
@@ -224,15 +217,21 @@ def _localize_one(stack, blur, r0, c0, cur_scale, pixel_distance,
 def detect_level(low, cur, high, blur, cur_scale: float,
                  pixel_distance: float, capacity: int,
                  cfg: HesaffConfig) -> LevelKeypoints:
-    """Candidates + batched localization for one detection level."""
+    """Candidates + batched localization for one detection level.
+
+    Localization solves the quadratic fit DENSELY (VPU stencils over the
+    whole level, _localization_maps) and only the bounded +-1 walk runs
+    per candidate, reading 4 contiguous floats per step — per-candidate
+    3x3x3 gathers + solves were the detection hot spot on TPU.
+    """
     H, W = cur.shape
     mask = candidate_mask(low, cur, high, cfg)
     rows, cols, valid, overflow = compact_candidates(mask, capacity)
-    stack = jnp.stack([low, cur, high])
+    maps, edge_bad = _localization_maps(low, cur, high, cfg)
 
     loc = jax.vmap(
-        lambda r, c: _localize_one(
-            stack, blur, r, c,
+        lambda r, c: _walk_one(
+            maps, edge_bad, blur, r, c,
             jnp.float32(cur_scale), jnp.float32(pixel_distance),
             H, W, cfg,
         )
