@@ -49,6 +49,9 @@ class HesaffConfig:
     candidate_cap_min: int = 64
     candidate_cap_max: int = 2048
     candidate_cap_div: int = 128
+    # fused Pallas blur+DoH kernel for the pyramid ladder (TPU only;
+    # falls back to the XLA path on other backends / oversized images)
+    use_pallas: bool = True
     # per-octave capacity of the post-dedup compacted keypoint set that
     # the (expensive) affine stage runs on — levels share this budget
     affine_cap_min: int = 128

@@ -1,0 +1,120 @@
+"""Pallas TPU kernel: fused Gaussian blur + DoH response.
+
+The pyramid ladder is bandwidth-bound: XLA's shift-and-add blur writes
+the blurred level to HBM, then the DoH stencil reads it back.  This
+kernel keeps one image resident in VMEM and produces BOTH the blurred
+level and its Determinant-of-Hessian response in a single pass —
+halving HBM traffic for the hot dense stage (SURVEY.md §3 hot loops
+0-1).  Numerics match ops/blur + ops/hessian exactly (same shift-add
+order, full f32 on the VPU).
+
+Used when the image fits the VMEM budget (all pyramid levels do for
+typical sizes); callers fall back to the XLA path otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# per-program VMEM budget: input + blurred + response + the shift-chain
+# temporaries Mosaic materializes (measured: a 2MB image fails to fit;
+# 1.5MB compiles) — full-resolution first octaves fall back to XLA
+_VMEM_BYTES = 4 << 20
+
+
+def _shift_rows(x, d):
+    """Shift rows by d with edge replication (row i reads row i+d)."""
+    H = x.shape[0]
+    if d == 0:
+        return x
+    if d > 0:
+        body = jax.lax.slice_in_dim(x, d, H, axis=0)
+        edge = jnp.broadcast_to(x[H - 1 : H, :], (d, x.shape[1]))
+        return jnp.concatenate([body, edge], axis=0)
+    body = jax.lax.slice_in_dim(x, 0, H + d, axis=0)
+    edge = jnp.broadcast_to(x[0:1, :], (-d, x.shape[1]))
+    return jnp.concatenate([edge, body], axis=0)
+
+
+def _shift_cols(x, d):
+    W = x.shape[1]
+    if d == 0:
+        return x
+    if d > 0:
+        body = jax.lax.slice_in_dim(x, d, W, axis=1)
+        edge = jnp.broadcast_to(x[:, W - 1 : W], (x.shape[0], d))
+        return jnp.concatenate([body, edge], axis=1)
+    body = jax.lax.slice_in_dim(x, 0, W + d, axis=1)
+    edge = jnp.broadcast_to(x[:, 0:1], (x.shape[0], -d))
+    return jnp.concatenate([edge, body], axis=1)
+
+
+def _make_kernel(taps: tuple, norm2: float):
+    r = len(taps) // 2
+
+    def kernel(in_ref, blur_ref, resp_ref):
+        x = in_ref[:]
+        acc = None
+        for i, t in enumerate(taps):
+            term = t * _shift_rows(x, i - r)
+            acc = term if acc is None else acc + term
+        out = None
+        for i, t in enumerate(taps):
+            term = t * _shift_cols(acc, i - r)
+            out = term if out is None else out + term
+        blur_ref[:] = out
+
+        # DoH on the freshly blurred level, still in VMEM
+        lxx = (_shift_cols(out, -1) - 2.0 * out + _shift_cols(out, 1))
+        lyy = (_shift_rows(out, -1) - 2.0 * out + _shift_rows(out, 1))
+        d1 = _shift_rows(_shift_cols(out, 1), -1)   # (r-1, c+1)
+        d2 = _shift_rows(_shift_cols(out, -1), -1)  # (r-1, c-1)
+        d3 = _shift_rows(_shift_cols(out, -1), 1)   # (r+1, c-1)
+        d4 = _shift_rows(_shift_cols(out, 1), 1)    # (r+1, c+1)
+        lxy = (d1 - d2 + d3 - d4) * 0.25
+        resp = (lxx * lyy - lxy * lxy) * norm2
+        # zero the 1-px border (interior-only contract of hessian_response)
+        H, W = resp.shape
+        rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        interior = ((rows > 0) & (rows < H - 1)
+                    & (cols > 0) & (cols < W - 1))
+        resp_ref[:] = jnp.where(interior, resp, 0.0)
+
+    return kernel
+
+
+def fits_vmem(height: int, width: int) -> bool:
+    return 3 * height * width * 4 <= _VMEM_BYTES
+
+
+@functools.partial(jax.jit, static_argnames=("taps", "norm2", "interpret"))
+def blur_doh(img: jnp.ndarray, taps: tuple, norm2: float,
+             interpret: bool = False):
+    """Fused blur + DoH for one image (vmap adds the batch axis).
+
+    img: (H, W) float32; taps: static tuple of python floats (OpenCV
+    sampled-Gaussian); norm2: sigma^4 DoH normalization (the *next*
+    level's sigma squared, squared).  Returns (blurred, resp).
+    """
+    H, W = img.shape
+    kernel = _make_kernel(taps, norm2)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((H, W), jnp.float32),
+            jax.ShapeDtypeStruct((H, W), jnp.float32),
+        ],
+        interpret=interpret,
+    )(img)

@@ -57,18 +57,39 @@ def prepare_first_level(image: jnp.ndarray, cfg: HesaffConfig):
 
 def build_octave(first_level: jnp.ndarray, pixel_distance: float,
                  cfg: HesaffConfig) -> Octave:
-    """One octave's blur + DoH stacks (pyramid.cpp:224-258 schedule)."""
+    """One octave's blur + DoH stacks (pyramid.cpp:224-258 schedule).
+
+    On TPU the ladder uses the fused Pallas blur+DoH kernel (one VMEM
+    pass per level instead of separate HBM round-trips).
+    """
+    import jax
+
+    from hesaff_tpu.ops import pallas_blur
+
     sigmas = level_sigmas(cfg)
     step = cfg.sigma_step
+    H, W = first_level.shape[-2], first_level.shape[-1]
+    use_pallas = (
+        cfg.use_pallas
+        and jax.default_backend() == "tpu"
+        and pallas_blur.fits_vmem(H, W)
+    )
+
     blurs = [first_level]
+    resps = [hessian_response(first_level, sigmas[0] ** 2)]
     for i in range(cfg.num_scales + 1):
         inc = sigmas[i] * math.sqrt(step * step - 1.0)
-        blurs.append(
-            gaussian_blur_traced(blurs[-1], jnp.asarray(gaussian_taps(inc)))
-        )
-    resps = [
-        hessian_response(b, sigmas[k] ** 2) for k, b in enumerate(blurs)
-    ]
+        taps = gaussian_taps(inc)
+        if use_pallas:
+            b, r = pallas_blur.blur_doh(
+                blurs[-1], tuple(float(t) for t in taps),
+                float(sigmas[i + 1] ** 4),
+            )
+        else:
+            b = gaussian_blur_traced(blurs[-1], jnp.asarray(taps))
+            r = hessian_response(b, sigmas[i + 1] ** 2)
+        blurs.append(b)
+        resps.append(r)
     next_first = half_image(blurs[cfg.num_scales])
     return Octave(
         blurs=jnp.stack(blurs),
