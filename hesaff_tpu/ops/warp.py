@@ -126,11 +126,12 @@ def onehot_window_sample(window: jnp.ndarray, r0, c0, wy: jnp.ndarray,
                    jnp.where(ey == 1, fy[:, None], 0.0))
     Ex = jnp.where(ex == 0, 1.0 - fx[:, None],
                    jnp.where(ex == 1, fx[:, None], 0.0))
-    # HIGHEST precision: TPU would otherwise run the f32 matmul in bf16
-    # passes (~4e-3 relative error on 0..255 pixel values), breaking
-    # oracle parity on threshold decisions
+    # HIGH precision (bf16x3 on TPU, ~f32 accurate): plain DEFAULT would
+    # run single-pass bf16 (~4e-3 relative error on 0..255 pixel values)
+    # and break oracle parity on threshold decisions; HIGHEST (bf16x6)
+    # costs 2x for no measurable parity gain
     t = jnp.dot(Ey, window, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=jax.lax.Precision.HIGH)
     val = jnp.sum(t * Ex, axis=1)
     return jnp.where(valid, val, 0.0), jnp.any(~valid)
 

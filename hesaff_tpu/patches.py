@@ -144,7 +144,7 @@ def _warp_workspace(images, idx, bucket: int, x, y, a11, a12, a21, a22, ws):
     Ex = jnp.where(dx == 0, 1.0 - fx[:, None],
                    jnp.where(dx == 1, fx[:, None], 0.0))   # (bucket, WX)
     xs = jnp.dot(Ex, win.T, preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)  # (bucket, WY)
+                 precision=jax.lax.Precision.HIGH)  # (bucket, WY)
 
     # y-pass: scan over output rows; per row the y positions vary by col
     iota_y = jnp.arange(WY, dtype=jnp.float32)
@@ -206,7 +206,7 @@ def _subsample_patch(ws_img, ws, its, patch_size: int):
     d = iota[None, :] - p0[:, None]
     S = jnp.where(d == 0, 1.0 - f[:, None],
                   jnp.where(d == 1, f[:, None], 0.0))  # (41, B)
-    hi = jax.lax.Precision.HIGHEST
+    hi = jax.lax.Precision.HIGH
     t = jnp.dot(S, ws_img, preferred_element_type=jnp.float32, precision=hi)
     return jnp.dot(t, S.T, preferred_element_type=jnp.float32, precision=hi)
 
