@@ -97,16 +97,22 @@ def _adapt_one(blur_stack, src, x, y, s, pixel_distance,
     alive = jnp.bool_(True)
     converged = jnp.bool_(False)
     conv_iter = jnp.int32(0)
+    violated = jnp.bool_(False)
 
     def body(l, state):
-        u11, u12, u21, u22, ratio_bef, alive, converged, conv_iter = state
+        (u11, u12, u21, u22, ratio_bef, alive, converged, conv_iter,
+         violated) = state
         wx, wy = affine_grid(
             win, win, lx, ly,
             u11 * ratio, u12 * ratio, u21 * ratio, u22 * ratio,
         )
-        img, _ = onehot_window_sample(
+        img, _, oow = onehot_window_sample(
             wnd, r0, c0, wy.reshape(-1), wx.reshape(-1), H, W
         )
+        # a sample inside the image but outside the local window would
+        # silently read 0 and diverge from the reference — drop + flag
+        # (the static window bound is heuristic; see sample_window_size)
+        violated = violated | (alive & oow)
         img = img.reshape(win, win)
         gx, gy = _window_gradient(img)
         a = jnp.sum(gx * gx * mask) / mask_pixels
@@ -140,13 +146,16 @@ def _adapt_one(blur_stack, src, x, y, s, pixel_distance,
         conv_iter = jnp.where(alive & just_conv, l, conv_iter)
         converged = converged | (alive & just_conv)
         alive = alive & ~aniso_bad & ~just_conv
-        return (u11, u12, u21, u22, ratio_bef, alive, converged, conv_iter)
+        return (u11, u12, u21, u22, ratio_bef, alive, converged, conv_iter,
+                violated)
 
-    state = (u11, u12, u21, u22, ratio_bef, alive, converged, conv_iter)
+    state = (u11, u12, u21, u22, ratio_bef, alive, converged, conv_iter,
+             violated)
     state = jax.lax.fori_loop(0, cfg.max_iterations, body, state)
-    u11, u12, u21, u22, _, _, converged, conv_iter = state
+    u11, u12, u21, u22, _, _, converged, conv_iter, violated = state
     return AffineResult(
-        ok=converged, u11=u11, u12=u12, u21=u21, u22=u22, iters=conv_iter
+        ok=converged & ~violated,
+        u11=u11, u12=u12, u21=u21, u22=u22, iters=conv_iter,
     )
 
 

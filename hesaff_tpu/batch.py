@@ -26,7 +26,12 @@ import numpy as np
 from hesaff_tpu.config import DEFAULT_CONFIG, HesaffConfig
 from hesaff_tpu.detect import compact_levels, dedup_octave, detect_level
 from hesaff_tpu.ops.linalg import rectify_up_is_up
-from hesaff_tpu.patches import bucket_for, extract_bucket_batch, patch_image_size
+from hesaff_tpu.patches import (
+    BUCKET_SIZES,
+    bucket_for,
+    extract_bucket_batch,
+    patch_image_size,
+)
 from hesaff_tpu.pipeline import ExtractStats, Features
 from hesaff_tpu.pyramid import (
     build_octave,
@@ -48,6 +53,7 @@ def _detect_one_octave(resps, blurs, sig, pd: float, cfg: HesaffConfig):
     levels = dedup_octave(levels, H, W)
     comp = compact_levels(levels, cfg.affine_capacity(H, W))
     comp["overflow"] = comp["overflow"] + sum(lk.overflow for lk in levels)
+    comp["n_cand"] = sum(lk.n_cand for lk in levels)
     return comp
 
 
@@ -88,7 +94,7 @@ def detect_affine_batch(images: jnp.ndarray, cfg: HesaffConfig):
 
         cap = comp["ok"].shape[1]
         flat = {k: v.reshape(-1) for k, v in comp.items()
-                if k != "overflow"}
+                if k not in ("overflow", "n_cand")}
         img_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), cap)
         safe = lambda a, d: jnp.where(flat["ok"], a, d)
         ar = adapt_flat(
@@ -110,17 +116,18 @@ def detect_affine_batch(images: jnp.ndarray, cfg: HesaffConfig):
         fields["a21"].append(r21.reshape(shp))
         fields["a22"].append(r22.reshape(shp))
         fields["overflow"].append(comp["overflow"][:, None])
+        fields["n_cand"].append(comp["n_cand"][:, None])
         cur = nxt
         pd *= 2.0
     return {k: jnp.concatenate(v, axis=1) for k, v in fields.items()}
 
 
-@functools.partial(jax.jit, static_argnames=("bucket", "cfg"))
-def _bucket_stage(images, bucket: int, img_idx, x, y, s,
+@functools.partial(jax.jit, static_argnames=("bucket", "prev_bucket", "cfg"))
+def _bucket_stage(images, bucket: int, prev_bucket: int, img_idx, x, y, s,
                   a11, a12, a21, a22, active, cfg: HesaffConfig):
     return extract_bucket_batch(
         images, bucket, img_idx, x, y, s, a11, a12, a21, a22, cfg,
-        active=active,
+        active=active, prev_bucket=prev_bucket,
     )
 
 
@@ -142,6 +149,7 @@ def extract_batch(images, cfg: HesaffConfig = DEFAULT_CONFIG,
 
     ok = out["ok"]                       # (B, N_cap)
     num_kp = int(out["det_ok"].sum())
+    num_cand = int(out["n_cand"].sum())
     cand_overflow = int(out["overflow"].sum())
 
     # flatten accepted keypoints across the batch
@@ -168,8 +176,9 @@ def extract_batch(images, cfg: HesaffConfig = DEFAULT_CONFIG,
             npad = _pad_to(len(idx))
             sel = np.zeros(npad, np.int64)
             sel[: len(idx)] = idx
+            bi = BUCKET_SIZES.index(b)
             pk, pok = _bucket_stage(
-                images, b,
+                images, b, BUCKET_SIZES[bi - 1] if bi else 0,
                 jnp.asarray(img_idx[sel].astype(np.int32)),
                 *(jnp.asarray(fields[k][sel]) for k in
                   ("x", "y", "s", "a11", "a12", "a21", "a22")),
@@ -204,7 +213,7 @@ def extract_batch(images, cfg: HesaffConfig = DEFAULT_CONFIG,
             desc=descs[m],
         ))
     stats = ExtractStats(
-        num_candidates=num_kp, num_keypoints=num_kp, num_affine=n_aff,
+        num_candidates=num_cand, num_keypoints=num_kp, num_affine=n_aff,
         num_described=n_desc, candidate_overflow=cand_overflow,
         bucket_overflow=bucket_overflow,
     )

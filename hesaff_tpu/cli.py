@@ -24,9 +24,15 @@ def _cmd_extract(args) -> int:
     from hesaff_tpu.pipeline import extract
     from hesaff_tpu.sift_io import load_image_gray, write_sift_file
 
+    # the reference driver plumbs threshold/max_iter/patch/mrSize
+    # (/root/reference/hesaff.cpp:152-163); upscale is a PyramidParams
+    # field (pyramid.h:34, default off)
     cfg = HesaffConfig(
         threshold=args.threshold,
         max_iterations=args.max_iter,
+        patch_size=args.patch_size,
+        mr_size=args.mr_size,
+        upscale_input=args.upscale,
     )
     gray = load_image_gray(args.image)
     t0 = time.perf_counter()
@@ -105,6 +111,7 @@ def _cmd_eval(args) -> int:
         features_to_ellipses(f1, cfg.mr_size),
         features_to_ellipses(f2, cfg.mr_size),
         H, img2.shape, f1.desc, f2.desc,
+        shape1=img1.shape,
     )
     print(f"n1={r.n1} n2={r.n2} correspondences={r.num_correspondences} "
           f"repeatability={r.repeatability:.3f} "
@@ -134,6 +141,10 @@ def main(argv=None) -> int:
     pe.add_argument("-o", "--output", default=None)
     pe.add_argument("--threshold", type=float, default=16.0 / 3.0)
     pe.add_argument("--max-iter", type=int, default=16)
+    pe.add_argument("--patch-size", type=int, default=41)
+    pe.add_argument("--mr-size", type=float, default=3.0 * 3.0**0.5)
+    pe.add_argument("--upscale", action="store_true",
+                    help="2x upscale the input before the pyramid")
     pe.add_argument("--platform", default=None,
                     help="override jax platform (e.g. cpu)")
     pe.set_defaults(fn=_cmd_extract)

@@ -44,6 +44,7 @@ class LevelKeypoints(NamedTuple):
     c_final: jnp.ndarray   # (K,) final integer col
     order: jnp.ndarray     # (K,) scan-order rank within the level
     overflow: jnp.ndarray  # () int32 — candidates dropped by capacity
+    n_cand: jnp.ndarray    # () int32 — NMS candidates pre-localization
 
 
 def _nbhd_max(x: jnp.ndarray) -> jnp.ndarray:
@@ -245,6 +246,7 @@ def detect_level(low, cur, high, blur, cur_scale: float,
     return LevelKeypoints(
         ok=ok, x=x, y=y, s=s, response=val, type=ptype,
         r_final=r_f, c_final=c_f, order=order, overflow=overflow,
+        n_cand=jnp.sum(mask.astype(jnp.int32)),
     )
 
 

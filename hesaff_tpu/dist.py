@@ -101,7 +101,8 @@ def extraction_step(images: jnp.ndarray, cfg: HesaffConfig,
     out = detect_affine_batch(images, cfg)
 
     ncap = out["ok"].shape[1]
-    flat = {k: v.reshape(-1) for k, v in out.items() if k != "overflow"}
+    flat = {k: v.reshape(-1) for k, v in out.items()
+            if k not in ("overflow", "n_cand")}
     ok = flat["ok"]
     total = B * ncap
 
@@ -130,7 +131,7 @@ def extraction_step(images: jnp.ndarray, cfg: HesaffConfig,
         args = [flat[k][idx] for k in
                 ("x", "y", "s", "a11", "a12", "a21", "a22")]
         pk, pok = extract_bucket_batch(
-            images, bsize, gi, *args, cfg, active=valid
+            images, bsize, gi, *args, cfg, active=valid, prev_bucket=prev
         )
         sl = slice(offset, offset + bcap)
         patches = patches.at[sl].set(pk)
@@ -161,7 +162,8 @@ def extraction_step(images: jnp.ndarray, cfg: HesaffConfig,
 def _phase_a_flat(images, cfg: HesaffConfig):
     """Phase A producing flattened per-keypoint fields (device-resident)."""
     out = detect_affine_batch(images, cfg)
-    flat = {k: v.reshape(-1) for k, v in out.items() if k != "overflow"}
+    flat = {k: v.reshape(-1) for k, v in out.items()
+            if k not in ("overflow", "n_cand")}
     flat["overflow"] = jnp.sum(out["overflow"])
     return flat
 
@@ -180,7 +182,7 @@ def _bucket_select_stage(images, flat, cfg: HesaffConfig, bsize: int,
     args = [flat[k][idx] for k in
             ("x", "y", "s", "a11", "a12", "a21", "a22")]
     pk, pok = extract_bucket_batch(images, bsize, gi, *args, cfg,
-                                   active=valid)
+                                   active=valid, prev_bucket=prev)
     sel = {k: flat[k][idx] for k in
            ("x", "y", "s", "a11", "a12", "a21", "a22", "response")}
     sel["type"] = flat["type"][idx].astype(jnp.int32)

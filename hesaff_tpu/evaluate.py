@@ -154,38 +154,52 @@ def _pair_overlap(e1, E1, e2, E2, normalize_scale, grid: int = 57):
 
 def repeatability(ell1: np.ndarray, ell2: np.ndarray, H: np.ndarray,
                   shape2, desc1=None, desc2=None,
-                  overlap_threshold: float = 0.6) -> RepeatabilityResult:
+                  overlap_threshold: float = 0.6,
+                  shape1=None) -> RepeatabilityResult:
     """VGG repeatability of two detections under homography H (1 -> 2).
 
     ell*: (N, 5) [u, v, a, b, c]; shape2: (H, W) of image 2; overlap
     error < 40% (overlap fraction > 0.6) counts as a correspondence.
+    shape1: (H, W) of image 1 — when given, image-2 features whose
+    back-projected centers fall outside image 1 are excluded (the
+    symmetric common-region restriction of the VGG protocol).
     """
     h2, w2 = shape2
     proj = _project_ellipses(ell1, H)
     # restrict to the common region
     in2 = ((proj[:, 0] >= 0) & (proj[:, 0] < w2)
            & (proj[:, 1] >= 0) & (proj[:, 1] < h2))
-    Hinv = np.linalg.inv(H)
-    back = _project_ellipses(ell2, Hinv)
-    # (image-1 bounds from inverse-projected centers; protocol symmetric)
     n1 = int(in2.sum())
-    sel2 = np.ones(len(ell2), bool)
+    if shape1 is not None:
+        Hinv = np.linalg.inv(H)
+        back = _project_ellipses(ell2, Hinv)
+        h1, w1 = shape1
+        sel2 = ((back[:, 0] >= 0) & (back[:, 0] < w1)
+                & (back[:, 1] >= 0) & (back[:, 1] < h1))
+    else:
+        sel2 = np.ones(len(ell2), bool)
     n2 = int(sel2.sum())
 
     ov = _overlap_matrix(proj[in2], ell2[sel2])
-    # greedy one-to-one assignment on overlap
+    # greedy one-to-one assignment on overlap: identical result to the
+    # repeated-global-argmax loop, but O(P log P) over the P candidate
+    # pairs above threshold instead of O(corr * N * M)
     corr = 0
     matched_pairs = []
     if ov.size:
-        ovc = ov.copy()
-        while True:
-            i, j = np.unravel_index(np.argmax(ovc), ovc.shape)
-            if ovc[i, j] < overlap_threshold:
-                break
+        idx1_of = np.nonzero(in2)[0]
+        idx2_of = np.nonzero(sel2)[0]
+        pi, pj = np.nonzero(ov >= overlap_threshold)
+        order = np.argsort(-ov[pi, pj], kind="stable")
+        used_i = np.zeros(ov.shape[0], bool)
+        used_j = np.zeros(ov.shape[1], bool)
+        for i, j in zip(pi[order], pj[order]):
+            if used_i[i] or used_j[j]:
+                continue
+            used_i[i] = True
+            used_j[j] = True
             corr += 1
-            matched_pairs.append((np.nonzero(in2)[0][i], j))
-            ovc[i, :] = -1
-            ovc[:, j] = -1
+            matched_pairs.append((idx1_of[i], idx2_of[j]))
 
     denom = max(min(n1, n2), 1)
     rep = corr / denom

@@ -130,16 +130,14 @@ def ring_knn2(query_sharded, db_sharded, axis_name: str):
         )
         return (ni, nd1, nd2, db), None
 
+    # derive the init carries from the device-varying query shard so the
+    # scan carry is typed device-varying under shard_map without the
+    # (deprecated) explicit jax.lax.pvary
+    zero = query_sharded[:, 0] * 0.0
     init = (
-        # pvary: mark the fresh constants as device-varying so the scan
-        # carry type matches the outputs under shard_map's varying-axis
-        # type system
-        jax.lax.pvary(jnp.zeros(query_sharded.shape[0], jnp.int32),
-                      axis_name),
-        jax.lax.pvary(jnp.full(query_sharded.shape[0], jnp.inf, jnp.float32),
-                      axis_name),
-        jax.lax.pvary(jnp.full(query_sharded.shape[0], jnp.inf, jnp.float32),
-                      axis_name),
+        zero.astype(jnp.int32),
+        zero + jnp.inf,
+        zero + jnp.inf,
         db_sharded,
     )
     (bi, bd1, bd2, _), _ = jax.lax.scan(

@@ -107,7 +107,12 @@ def onehot_window_sample(window: jnp.ndarray, r0, c0, wy: jnp.ndarray,
     coords.  Samples outside the image produce 0 and raise `touched`
     (reference semantics, helpers.cpp:229-239).  Samples inside the
     image but outside the window also produce 0 — the caller sizes the
-    window so this cannot happen for surviving keypoints.
+    window so this cannot happen for surviving keypoints; the returned
+    `out_of_window` flag makes any violation of that sizing bound
+    observable (the heuristic singular-value bound in
+    affine_shape.sample_window_size is not a hard guarantee).
+
+    Returns (values, touched_image_border, out_of_window).
     """
     win = window.shape[0]
     y0f = jnp.floor(wy)
@@ -133,7 +138,11 @@ def onehot_window_sample(window: jnp.ndarray, r0, c0, wy: jnp.ndarray,
     t = jnp.dot(Ey, window, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGH)
     val = jnp.sum(t * Ex, axis=1)
-    return jnp.where(valid, val, 0.0), jnp.any(~valid)
+    oow = valid & (
+        (dy[:, 0] < 0) | (dy[:, 0] > win - 2)
+        | (dx[:, 0] < 0) | (dx[:, 0] > win - 2)
+    )
+    return jnp.where(valid, val, 0.0), jnp.any(~valid), jnp.any(oow)
 
 
 def affine_sample(img, out_h: int, out_w: int, ofsx, ofsy, a11, a12, a21, a22):

@@ -22,8 +22,11 @@ specializations) and each bucket runs as one batched kernel:
     (W_S>>1) + i * imageToPatchScale (affine.cpp:131).
 
 Keypoints whose imageToPatchScale <= 0.4 take the direct-warp branch
-(affine.cpp:135-141); with default parameters this branch is dead
-(minimum patchImageSize ~21 > 0.4*41), but it is kept for config parity.
+(affine.cpp:135-141), selected PER KEYPOINT (its <= cutoff) like the
+reference; with default parameters the branch is dead (minimum
+patchImageSize ~21 > 0.4*41) and the static `_min_workspace` bound
+elides the dual computation entirely, but non-default patch_size /
+mr_size / upscale configs route each keypoint to its true branch.
 """
 
 from __future__ import annotations
@@ -36,11 +39,7 @@ import numpy as np
 
 from hesaff_tpu.config import HesaffConfig
 from hesaff_tpu.ops.batching import chunked_vmap as _chunked_vmap
-from hesaff_tpu.ops.warp import (
-    bilinear_sample,
-    bilinear_sample_from,
-    check_borders,
-)
+from hesaff_tpu.ops.warp import check_borders
 
 # Bucket sizes for the workspace side B >= patchImageSize+2. Geometric-ish
 # spacing bounds wasted compute at ~25%; large sizes are rare (keypoint
@@ -211,18 +210,48 @@ def _subsample_patch(ws_img, ws, its, patch_size: int):
     return jnp.dot(t, S.T, preferred_element_type=jnp.float32, precision=hi)
 
 
+def _min_workspace(cfg: HesaffConfig) -> int:
+    """Static lower bound on any keypoint's workspace side ws = S + 2.
+
+    The smallest detectable scale is initial_sigma * step (level 1)
+    shifted down by the sub-scale interpolation limit 2^(-1.5/3), times
+    the smallest pixel distance (0.5 when upscaling).
+    """
+    pd_min = 0.5 if cfg.upscale_input else 1.0
+    s_min = (cfg.initial_sigma * cfg.sigma_step
+             * 2.0 ** (-cfg.final_shift_limit / cfg.num_scales) * pd_min)
+    return 2 * int(math.ceil(s_min * cfg.mr_size)) + 3
+
+
+def _direct_warp(images, ii, xx, yy, b11, b21, b22, its, P: int):
+    """Direct-warp branch (affine.cpp:135-141): P x P det-1 warp with
+    A * imageToPatchScale, no smoothing.  Separable exact formulation
+    (_warp_workspace with ws == bucket == P disables the edge clamp)."""
+    return _warp_workspace(
+        images, ii, P, xx, yy,
+        b11 * its, 0.0, b21 * its, b22 * its,
+        jnp.full_like(its, P).astype(jnp.int32),
+    )
+
+
 def extract_bucket_batch(images: jnp.ndarray, bucket: int, img_idx,
                          x, y, s, a11, a12, a21, a22, cfg: HesaffConfig,
-                         active=None):
+                         active=None, prev_bucket: int = 0):
     """Batched patch extraction for keypoints assigned to one bucket.
 
     images: (B, H, W); img_idx + remaining array args: (K,) per-keypoint
     (keypoints may come from different images — cross-batch bucketing).
     `active` (K,) bool marks real (non-padding) slots: all-padding
-    chunks of the keypoint axis are skipped at runtime.
+    chunks of the keypoint axis are skipped at runtime.  `prev_bucket`:
+    the next-smaller bucket size (keypoints here have ws > prev_bucket),
+    used to statically decide whether this bucket can contain
+    direct-branch (its <= 0.4) keypoints.
     Returns (patches (K, P, P), ok (K,)).  ok=False for keypoints whose
     patch touches the image boundary (corner pre-check, affine.cpp:112,
     or full-warp check, affine.cpp:126).
+
+    The rectified frame has a12 == 0 (rectify_up_is_up); the separable
+    warps rely on it.
     """
     P = cfg.patch_size
     mr_scale = jnp.ceil(s * cfg.mr_size)
@@ -239,6 +268,11 @@ def extract_bucket_batch(images: jnp.ndarray, bucket: int, img_idx,
     )(its, a11, a12, a21, a22, x, y)
 
     use_blur_branch = (bucket - 2) / P > cfg.oversample_cutoff
+    # can this bucket hold keypoints with its <= cutoff?  its <= cutoff
+    # iff ws <= cutoff*P + 2; the bucket holds ws in (prev_bucket, bucket]
+    # and ws >= _min_workspace(cfg)
+    smallest_ws = max(prev_bucket + 1, _min_workspace(cfg))
+    mixed = use_blur_branch and smallest_ws <= cfg.oversample_cutoff * P + 2
     if use_blur_branch:
         kmax = _max_ksize_for_bucket(bucket, P, cfg.patch_smooth_factor)
         WY, _ = _workspace_window(bucket, H, W)
@@ -266,6 +300,16 @@ def extract_bucket_batch(images: jnp.ndarray, bucket: int, img_idx,
             taps = _device_gauss_taps(sigma, ksz, kmax)
             blurred = _blur_one(wsp, taps)
             patch = _subsample_patch(blurred, w, itss, P)
+            if mixed:
+                # per-keypoint branch routing (affine.cpp:115,135): a
+                # keypoint with its <= cutoff takes the direct warp even
+                # though the bucket as a whole oversamples
+                dpatch, dtouched = _direct_warp(
+                    images, ii, xx, yy, b11, b21, b22, itss, P
+                )
+                direct = itss <= cfg.oversample_cutoff
+                patch = jnp.where(direct, dpatch, patch)
+                touched = jnp.where(direct, dtouched, touched)
             return patch, touched
 
         patches, touched = _chunked_vmap(
@@ -276,25 +320,16 @@ def extract_bucket_batch(images: jnp.ndarray, bucket: int, img_idx,
         )
         ok = ~corner_bad & ~touched
     else:
-        patches, touched = jax.vmap(
-            lambda ii, xx, yy, b11, b12, b21, b22, itss: bilinear_sample_from(
-                images, ii,
-                *_direct_grid(P, xx, yy, b11 * itss, b12 * itss,
-                              b21 * itss, b22 * itss),
-            )
-        )(img_idx, x, y, a11, a12, a21, a22, its)
+        patches, touched = _chunked_vmap(
+            lambda ii, xx, yy, b11, b21, b22, itss: _direct_warp(
+                images, ii, xx, yy, b11, b21, b22, itss, P
+            ),
+            (img_idx, x, y, a11, a21, a22, its),
+            max(8, min(x.shape[0], 256)),
+            active=active,
+        )
         ok = ~corner_bad & ~touched
     return patches, ok
-
-
-def _direct_grid(P: int, ofsx, ofsy, a11, a12, a21, a22):
-    """Centered PxP affine sample grid (direct-warp branch)."""
-    half = P >> 1
-    j = jnp.arange(-half, half + 1, dtype=jnp.float32)[:, None]
-    i = jnp.arange(-half, half + 1, dtype=jnp.float32)[None, :]
-    wx = ofsx + i * a11 + j * a12
-    wy = ofsy + i * a21 + j * a22
-    return wx, wy
 
 
 def extract_bucket(image: jnp.ndarray, bucket: int, x, y, s,

@@ -142,6 +142,11 @@ def _load_pnm_gray(path: str) -> np.ndarray:
         fields.append(data[start:pos])
     pos += 1  # single whitespace after maxval
     magic, w, h = fields[0], int(fields[1]), int(fields[2])
+    maxval = int(fields[3])
+    if maxval > 255:
+        raise ValueError(
+            f"16-bit PNM not supported (maxval={maxval}); convert to 8-bit"
+        )
     raw = np.frombuffer(data, np.uint8, offset=pos)
     if magic == b"P6":
         rgb = raw[: w * h * 3].reshape(h, w, 3).astype(np.float32)
