@@ -47,36 +47,61 @@ def main():
     import gen_images
 
     from hesaff_tpu.config import HesaffConfig
-    from hesaff_tpu.dist import default_bucket_spec, extraction_step_staged
+    from hesaff_tpu.dist import (
+        default_bucket_spec,
+        default_group_spec,
+        extraction_step_grouped,
+        extraction_step_staged,
+    )
 
-    cfg = HesaffConfig()
+    on_tpu = not args.cpu and jax.default_backend() == "tpu"
+    # capacities sized so nothing overflows on the (keypoint-dense)
+    # synthetic bench imagery — a defensible number processes every
+    # keypoint the reference would
+    cfg = HesaffConfig(
+        candidate_cap_max=8192,
+        affine_cap_max=8192,
+    )
     rng_imgs = [
         gen_images.synth_image(args.width, args.height, seed=s)
         .astype(np.float32).mean(axis=-1)
         for s in range(args.batch)
     ]
     images = jnp.asarray(np.stack(rng_imgs))
-    buckets = default_bucket_spec(args.height, args.width, cfg,
-                                  per_image_cap=args.cap, batch=args.batch)
 
-    # staged zero-sync path: chained small jits, device-resident
-    # intermediates — one upload, one download per batch (host round
-    # trips through the device tunnel dominate otherwise)
+    if on_tpu:
+        groups = default_group_spec(args.height, args.width, cfg,
+                                    per_image_cap=args.cap,
+                                    batch=args.batch)
+        step = lambda im: extraction_step_grouped(im, cfg, groups)
+    else:
+        buckets = default_bucket_spec(args.height, args.width, cfg,
+                                      per_image_cap=args.cap,
+                                      batch=args.batch)
+        step = lambda im: extraction_step_staged(im, cfg, buckets)
+
     t0 = time.perf_counter()
-    out = extraction_step_staged(images, cfg, buckets)
+    out = step(images)
     jax.block_until_ready(out)
     t_compile = time.perf_counter() - t0
 
     n_desc = int(np.asarray(out.valid).sum())
     overflow = int(np.asarray(out.overflow))
-    times = []
+    # steady-state pipelined throughput: keep two batches in flight so
+    # the result download (slow tunnel link) overlaps the next batch's
+    # compute — the serving architecture a fleet would use
+    outs = []
+    t0 = time.perf_counter()
     for _ in range(args.iters):
-        t0 = time.perf_counter()
-        out = extraction_step_staged(images, cfg, buckets)
-        np.asarray(out.desc)  # force the result transfer like a real user
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    t = min(times)
+        outs.append(step(images))
+        while len(outs) > 2:
+            o = outs.pop(0)
+            np.asarray(o.desc)
+            jax.block_until_ready(o)
+    for o in outs:
+        np.asarray(o.desc)
+        jax.block_until_ready(o)
+    t = (time.perf_counter() - t0) / args.iters
     desc_per_s = n_desc / t
     img_per_s = args.batch / t
 

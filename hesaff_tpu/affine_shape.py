@@ -159,6 +159,15 @@ def _adapt_one(blur_stack, src, x, y, s, pixel_distance,
     )
 
 
+def unclamped_window_size(cfg: HesaffConfig) -> int:
+    """Formula window side before clamping to the octave size."""
+    half = cfg.smm_window_size >> 1
+    ratio_max = cfg.sigma_step**cfg.num_scales * math.sqrt(2.0)
+    rownorm = math.sqrt(2.0) * cfg.anisotropy_max**0.25
+    radius = int(math.ceil(half * ratio_max * rownorm)) + 2
+    return ((2 * radius + 7) // 8) * 8  # round up to a lane-friendly size
+
+
 def sample_window_size(cfg: HesaffConfig, height: int, width: int) -> int:
     """Static sampling-window side for the adaptation of one octave.
 
@@ -169,12 +178,7 @@ def sample_window_size(cfg: HesaffConfig, height: int, width: int) -> int:
     Clamped to the octave size (small octaves use the whole image, which
     is exact).
     """
-    half = cfg.smm_window_size >> 1
-    ratio_max = cfg.sigma_step**cfg.num_scales * math.sqrt(2.0)
-    rownorm = math.sqrt(2.0) * cfg.anisotropy_max**0.25
-    radius = int(math.ceil(half * ratio_max * rownorm)) + 2
-    win = ((2 * radius + 7) // 8) * 8  # round up to a lane-friendly size
-    return max(8, min(win, height, width))
+    return max(8, min(unclamped_window_size(cfg), height, width))
 
 
 def adapt_flat(blur_stacks: jnp.ndarray, img_idx, src_level, x, y, s,
@@ -189,11 +193,25 @@ def adapt_flat(blur_stacks: jnp.ndarray, img_idx, src_level, x, y, s,
     Runs OUTSIDE any vmap so the chunked cond-skip genuinely elides
     padding chunks at runtime (a vmapped lax.cond executes both
     branches and skips nothing).
+
+    On TPU (cfg.use_pallas, window unclamped by the octave size) the
+    fused Pallas kernel runs the whole loop with the window resident in
+    VMEM — one HBM window read per keypoint instead of per-iteration
+    one-hot streams.  Small octaves (window clamp active) keep the XLA
+    path: its whole-image window changes the out-of-window semantics.
     """
-    mask = jnp.asarray(masks.smm_gauss_mask(cfg.smm_window_size))
-    pd = jnp.float32(pixel_distance)
     B, L, H, W = blur_stacks.shape
     swin = sample_window_size(cfg, H, W)
+    if (cfg.use_pallas and jax.default_backend() == "tpu"
+            and swin == unclamped_window_size(cfg)):
+        from hesaff_tpu.ops.pallas_affine import adapt_flat_pallas
+
+        return adapt_flat_pallas(
+            blur_stacks, img_idx, src_level, x, y, s,
+            pixel_distance, cfg, active=active,
+        )
+    mask = jnp.asarray(masks.smm_gauss_mask(cfg.smm_window_size))
+    pd = jnp.float32(pixel_distance)
     flat = blur_stacks.reshape(B * L, H, W)
     # measured sweet spot on v5e: 512-keypoint chunks (saturates the
     # chip; smaller serializes, larger spills and loses the skip win)

@@ -194,6 +194,161 @@ def _describe_stage(patches, cfg: HesaffConfig):
     return sift_descriptors(patches, cfg).astype(jnp.uint8)
 
 
+def default_group_spec(height: int, width: int,
+                       cfg: HesaffConfig = DEFAULT_CONFIG,
+                       per_image_cap: int = 512,
+                       batch: int = 1):
+    """Static (bucket, capacity) groups for the fused Pallas patch path.
+
+    Far coarser than BUCKET_SIZES: the kernel's padding waste is VMEM
+    compute, not HBM one-hot traffic, so a handful of groups beats 16+
+    bucket stages (each stage is a dispatch through the slow tunnel).
+    Capacities follow the measured keypoint distribution (~77% of
+    keypoints have ws <= 49 on dense synthetic imagery).
+    """
+    limit = min(height, width) + 2
+    total = per_image_cap * batch
+    sizes = (49, 97, 193, 385, 641, 1025)
+    fracs = (1.0, 0.5, 0.125, 0.0625, 0.0156, 0.008)
+    spec = []
+    for bsize, frac in zip(sizes, fracs):
+        cap = max(32, int(total * frac))
+        cap = ((cap + 31) // 32) * 32
+        spec.append((bsize, cap))
+        if bsize >= limit:
+            break
+    return tuple(spec)
+
+
+def _sift_masked(patches, active, cfg: HesaffConfig, chunk: int = 1024):
+    """sift_descriptors with runtime skip of all-padding chunks."""
+    K = patches.shape[0]
+    pad = (-K) % chunk
+    if pad:
+        patches = jnp.concatenate(
+            [patches, jnp.zeros((pad,) + patches.shape[1:], patches.dtype)])
+        active = jnp.concatenate([active, jnp.zeros((pad,), active.dtype)])
+    n = patches.shape[0] // chunk
+    pc = patches.reshape(n, chunk, *patches.shape[1:])
+    ac = active.reshape(n, chunk)
+
+    def body(args):
+        p, a = args
+        return jax.lax.cond(
+            jnp.any(a),
+            lambda: sift_descriptors(p, cfg).astype(jnp.uint8),
+            lambda: jnp.zeros((chunk, 128), jnp.uint8),
+        )
+
+    out = jax.lax.map(body, (pc, ac))
+    return out.reshape(-1, 128)[:K]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "groups", "ncap", "interpret"))
+def _phase_b_grouped(images, flat, cfg: HesaffConfig,
+                     groups: Sequence[tuple], ncap: int,
+                     interpret: bool = False):
+    """Whole phase B as ONE program: group selection + fused Pallas
+    patch kernels + masked SIFT.  Replaces 16+ per-bucket stages (each
+    a separate dispatch through the device tunnel).
+    """
+    from hesaff_tpu.ops.pallas_patches import extract_group_pallas
+    from hesaff_tpu.patches import _min_workspace
+    from hesaff_tpu.ops.batching import chunked_vmap
+    from hesaff_tpu.patches import _direct_warp
+
+    ok = flat["ok"]
+    mr_scale = jnp.ceil(flat["s"] * cfg.mr_size)
+    S = 2 * mr_scale.astype(jnp.int32) + 1
+    ws = S + 2
+    its_all = S.astype(jnp.float32) / cfg.patch_size
+
+    # per-keypoint direct-branch routing (affine.cpp:115,135): possible
+    # only when the smallest feasible workspace is under the cutoff
+    mixed = _min_workspace(cfg) <= cfg.oversample_cutoff * cfg.patch_size + 2
+    direct_m = ok & (its_all <= cfg.oversample_cutoff) if mixed else None
+
+    pieces = []
+    overflow = jnp.int32(0)
+    prev = 0
+    for bsize, bcap in groups:
+        m = ok & (ws > prev) & (ws <= bsize)
+        if mixed:
+            m = m & ~direct_m
+        idx, valid, over = compact_indices(m, bcap)
+        overflow = overflow + over
+        gi = (idx // ncap).astype(jnp.int32)
+        a = {k: flat[k][idx] for k in
+             ("x", "y", "s", "a11", "a12", "a21", "a22", "response")}
+        a["type"] = flat["type"][idx].astype(jnp.int32)
+        pk, pok = extract_group_pallas(
+            images, bsize, gi, a["x"], a["y"], a["s"],
+            a["a11"], a["a21"], a["a22"], cfg, active=valid,
+            interpret=interpret,
+        )
+        pieces.append((pk, pok, gi, a, valid))
+        prev = bsize
+    overflow = overflow + jnp.sum((ok & (ws > groups[-1][0])).astype(jnp.int32))
+
+    if mixed:
+        # direct-warp keypoints (its <= 0.4) via the separable XLA path
+        dcap = max(64, groups[0][1] // 4)
+        idx, valid, over = compact_indices(direct_m, dcap)
+        overflow = overflow + over
+        gi = (idx // ncap).astype(jnp.int32)
+        a = {k: flat[k][idx] for k in
+             ("x", "y", "s", "a11", "a12", "a21", "a22", "response")}
+        a["type"] = flat["type"][idx].astype(jnp.int32)
+        its_d = ((2 * jnp.ceil(a["s"] * cfg.mr_size).astype(jnp.int32) + 1)
+                 .astype(jnp.float32) / cfg.patch_size)
+        from hesaff_tpu.ops.warp import check_borders
+        H, W = images.shape[-2], images.shape[-1]
+        cbad = jax.vmap(
+            lambda itss, b11, b21, b22, xx, yy: check_borders(
+                H, W, cfg.patch_size, cfg.patch_size, xx, yy,
+                b11 * itss, 0.0, b21 * itss, b22 * itss,
+            )
+        )(its_d, a["a11"], a["a21"], a["a22"], a["x"], a["y"])
+        pk, touched = chunked_vmap(
+            lambda ii, xx, yy, b11, b21, b22, itss: _direct_warp(
+                images, ii, xx, yy, b11, b21, b22, itss, cfg.patch_size
+            ),
+            (gi, a["x"], a["y"], a["a11"], a["a21"], a["a22"], its_d),
+            max(8, min(dcap, 256)),
+            active=valid,
+        )
+        pieces.append((pk, valid & ~cbad & ~touched, gi, a, valid))
+
+    patches = jnp.concatenate([p[0] for p in pieces])
+    pvalid = jnp.concatenate([p[1] for p in pieces])
+    img_idx = jnp.concatenate([p[2] for p in pieces])
+    fields = {k: jnp.concatenate([p[3][k] for p in pieces])
+              for k in pieces[0][3]}
+    descs = _sift_masked(patches, pvalid, cfg)
+    return patches, pvalid, img_idx, fields, descs, overflow
+
+
+def extraction_step_grouped(images, cfg: HesaffConfig,
+                            groups: Sequence[tuple],
+                            interpret: bool = False) -> DenseFeatures:
+    """TPU fast path: phase A (fused-affine detection) + phase B as one
+    grouped-Pallas program.  Two dispatches + transfers total.
+    """
+    flat = _phase_a_flat(images, cfg)
+    ncap = flat["x"].shape[0] // images.shape[0]
+    patches, pvalid, img_idx, fields, descs, over_b = _phase_b_grouped(
+        images, flat, cfg, groups, ncap, interpret=interpret)
+    return DenseFeatures(
+        valid=pvalid, img_idx=img_idx,
+        x=fields["x"], y=fields["y"], s=fields["s"],
+        a11=fields["a11"], a12=fields["a12"],
+        a21=fields["a21"], a22=fields["a22"],
+        response=fields["response"], type=fields["type"],
+        desc=descs, overflow=flat["overflow"] + over_b,
+    )
+
+
 def extraction_step_staged(images, cfg: HesaffConfig,
                            buckets: Sequence[tuple]) -> DenseFeatures:
     """Same result as extraction_step but as a chain of small jits.

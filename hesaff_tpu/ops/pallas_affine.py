@@ -57,39 +57,39 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int):
                wnd, sems):
         def dma(kb):
             return pltpu.make_async_copy(
-                stack_ref.at[src_ref[kb],
-                             pl.ds(r0_ref[kb], WIN),
-                             pl.ds(c0_ref[kb], WIN)],
+                stack_ref.at[src_ref[0, kb],
+                             pl.ds(r0_ref[0, kb], WIN),
+                             pl.ds(c0_ref[0, kb], WIN)],
                 wnd.at[kb],
                 sems.at[kb],
             )
 
         for kb in range(KB):
-            @pl.when(act_ref[kb] != 0)
+            @pl.when(act_ref[0, kb] != 0)
             def _():
                 dma(kb).start()
 
         # constant per-sample-index grids, shaped for the one-hot build
-        p_b = jax.lax.broadcasted_iota(jnp.float32, (N, WIN), 0)
-        j_b = jnp.floor(p_b * (1.0 / G))
-        i_b = p_b - j_b * G
-        j_b = j_b - half
-        i_b = i_b - half
+        p_i = jax.lax.broadcasted_iota(jnp.int32, (N, WIN), 0)
+        j_i = p_i // G
+        i_i = p_i - j_i * G
+        j_b = (j_i - half).astype(jnp.float32)
+        i_b = (i_i - half).astype(jnp.float32)
         iota_w = jax.lax.broadcasted_iota(jnp.float32, (N, WIN), 1)
         # small (19,19) copies for the out-of-window check
         j_s = jax.lax.broadcasted_iota(jnp.float32, (G, G), 0) - half
         i_s = jax.lax.broadcasted_iota(jnp.float32, (G, G), 1) - half
 
         for kb in range(KB):
-            @pl.when(act_ref[kb] != 0)
+            @pl.when(act_ref[0, kb] != 0)
             def _():
                 dma(kb).wait()
                 w = wnd[kb]
-                lx = lx_ref[kb]
-                ly = ly_ref[kb]
-                ratio = ratio_ref[kb]
-                r0f = jnp.float32(r0_ref[kb])
-                c0f = jnp.float32(c0_ref[kb])
+                lx = lx_ref[0, kb]
+                ly = ly_ref[0, kb]
+                ratio = ratio_ref[0, kb]
+                r0f = jnp.float32(r0_ref[0, kb])
+                c0f = jnp.float32(c0_ref[0, kb])
 
                 def cond(state):
                     (_, _, _, _, _, alive, _, _, _, it) = state
@@ -111,14 +111,25 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int):
                     fy = wy - y0f
                     ey = iota_w - (y0f - r0f)
                     ex = iota_w - (x0f - c0f)
+                    # samples outside the image produce 0 (reference
+                    # semantics helpers.cpp:229-239; the flag is ignored
+                    # by findAffineShape, affine.cpp:47) — mask Ex so
+                    # near-border floor indices don't alias into the
+                    # window through the relative one-hot
+                    valid = ((x0f >= 0) & (y0f >= 0)
+                             & (x0f < W - 1) & (y0f < H - 1))
                     Ey = jnp.where(ey == 0, 1.0 - fy,
                                    jnp.where(ey == 1, fy, 0.0))
-                    Ex = jnp.where(ex == 0, 1.0 - fx,
-                                   jnp.where(ex == 1, fx, 0.0))
-                    t = jnp.dot(Ey, w, preferred_element_type=jnp.float32)
+                    Ex = jnp.where(valid,
+                                   jnp.where(ex == 0, 1.0 - fx,
+                                             jnp.where(ex == 1, fx, 0.0)),
+                                   0.0)
+                    t = jnp.dot(Ey, w, preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
                     val = jnp.sum(t * Ex, axis=1, keepdims=True)  # (N, 1)
                     img = jnp.dot(aj_ref[:], val * bi_ref[:],
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST)
 
                     # out-of-window observability (sample inside image
                     # but outside the static window)
@@ -176,21 +187,21 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int):
                         jnp.bool_(False), jnp.int32(0))
                 (u11, u12, u21, u22, _, _, converged, conv_iter,
                  violated, _) = jax.lax.while_loop(cond, body, init)
-                ok_ref[kb] = (converged & ~violated).astype(jnp.int32)
-                u11_ref[kb] = u11
-                u12_ref[kb] = u12
-                u21_ref[kb] = u21
-                u22_ref[kb] = u22
-                iters_ref[kb] = conv_iter
+                ok_ref[0, kb] = (converged & ~violated).astype(jnp.int32)
+                u11_ref[0, kb] = u11
+                u12_ref[0, kb] = u12
+                u21_ref[0, kb] = u21
+                u22_ref[0, kb] = u22
+                iters_ref[0, kb] = conv_iter
 
-            @pl.when(act_ref[kb] == 0)
+            @pl.when(act_ref[0, kb] == 0)
             def _():
-                ok_ref[kb] = 0
-                u11_ref[kb] = 0.0
-                u12_ref[kb] = 0.0
-                u21_ref[kb] = 0.0
-                u22_ref[kb] = 0.0
-                iters_ref[kb] = 0
+                ok_ref[0, kb] = 0
+                u11_ref[0, kb] = 0.0
+                u12_ref[0, kb] = 0.0
+                u21_ref[0, kb] = 0.0
+                u22_ref[0, kb] = 0.0
+                iters_ref[0, kb] = 0
 
     return kernel
 
@@ -219,9 +230,9 @@ def adapt_windows_pallas(stack: jnp.ndarray, src, r0, c0, act,
 
     kernel = _make_kernel(win, H, W, cfg, _KB)
     grid = (K // _KB,)
-    blk = lambda dt: pl.BlockSpec((_KB,), lambda g: (g,),
+    blk = lambda dt: pl.BlockSpec((1, _KB), lambda g: (g, 0),
                                   memory_space=pltpu.SMEM)
-    out_blk = pl.BlockSpec((_KB,), lambda g: (g,))
+    out_blk = pl.BlockSpec((1, _KB), lambda g: (g, 0))
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -240,20 +251,21 @@ def adapt_windows_pallas(stack: jnp.ndarray, src, r0, c0, act,
         ],
         out_specs=[out_blk] * 6,
         out_shape=[
-            jax.ShapeDtypeStruct((K,), jnp.int32),
-            jax.ShapeDtypeStruct((K,), jnp.float32),
-            jax.ShapeDtypeStruct((K,), jnp.float32),
-            jax.ShapeDtypeStruct((K,), jnp.float32),
-            jax.ShapeDtypeStruct((K,), jnp.float32),
-            jax.ShapeDtypeStruct((K,), jnp.int32),
+            jax.ShapeDtypeStruct((K // _KB, _KB), jnp.int32),
+            jax.ShapeDtypeStruct((K // _KB, _KB), jnp.float32),
+            jax.ShapeDtypeStruct((K // _KB, _KB), jnp.float32),
+            jax.ShapeDtypeStruct((K // _KB, _KB), jnp.float32),
+            jax.ShapeDtypeStruct((K // _KB, _KB), jnp.float32),
+            jax.ShapeDtypeStruct((K // _KB, _KB), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((_KB, win, win), jnp.float32),
             pltpu.SemaphoreType.DMA((_KB,)),
         ],
         interpret=interpret,
-    )(src, r0, c0, act, lx, ly, ratio, stack, msk,
-      jnp.asarray(aj), jnp.asarray(bi))
+    )(*(a.reshape(-1, _KB) for a in (src, r0, c0, act)),
+      *(a.reshape(-1, _KB) for a in (lx, ly, ratio)),
+      stack, msk, jnp.asarray(aj), jnp.asarray(bi))
 
 
 def adapt_flat_pallas(blur_stacks: jnp.ndarray, img_idx, src_level,
@@ -292,10 +304,11 @@ def adapt_flat_pallas(blur_stacks: jnp.ndarray, img_idx, src_level,
         lx, ly, ratio = map(zi, (lx, ly, ratio))
 
     flat = blur_stacks.reshape(B * L, H, W)
-    ok, u11, u12, u21, u22, iters = adapt_windows_pallas(
+    outs = adapt_windows_pallas(
         flat, src, r0, c0, act, lx, ly, ratio, win, cfg,
         interpret=interpret,
     )
+    ok, u11, u12, u21, u22, iters = (o.reshape(-1) for o in outs)
     sl = slice(0, K)
     return AffineResult(
         ok=ok[sl].astype(bool), u11=u11[sl], u12=u12[sl],

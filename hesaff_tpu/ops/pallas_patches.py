@@ -1,0 +1,351 @@
+"""Pallas TPU kernel: fused patch normalization (warp + blur + subsample).
+
+The XLA bucket path (patches.extract_bucket_batch) materializes the
+one-hot y-resample operands ((chunk, bucket, WY) per scanned output
+row) in HBM — O(bucket^2 * WY) bytes per keypoint, measured ~650 ms of
+a batch-16 run across 16 bucket stages.  This kernel runs the whole
+pipeline per keypoint with the source window resident in VMEM:
+
+  window (WY, WX) --DMA--> VMEM
+  x-pass   ys = win @ ExT          (MXU; ExT one-hot from wx(q))
+  y-pass   ws[j, :] = sum_y Ey_j * ys[base_j : base_j+LY]   (VPU loop)
+  blur     separable shift-add, per-keypoint taps (SMEM)
+  subsample patch = S @ blurred @ ST                         (MXU)
+
+HBM traffic = one window read + one 41x41 write per keypoint.  The
+numerics mirror patches._warp_workspace / _blur_one / _subsample_patch
+(same one-hot weights, clamp-replicate trick, OpenCV tap rule) against
+/root/reference/affine.cpp:102-144.
+
+The y-pass slices an LY-row band of ys per output row (band origin
+from the row's analytic min sample coordinate); keypoints whose shear
+|a21| * bucket exceeds the band fall back to the full-WY loop via
+lax.cond.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hesaff_tpu.config import HesaffConfig
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def group_geometry(bucket: int, height: int, width: int,
+                   patch_size: int, smooth_factor: float):
+    """Static (WY, WX, KMAX, LY) for a bucket-group kernel."""
+    wy = min(height, ((int(3.5 * bucket) + 15) // 8) * 8)
+    wx = min(width, ((int(2.5 * bucket) + 15) // 8) * 8)
+    its_max = (bucket - 2) / patch_size
+    kmax = int(2.0 * 3.0 * smooth_factor * its_max + 1.0)
+    kmax += 1 - (kmax % 2)
+    ly = min(wy, max(72, bucket // 2 + 16))
+    return wy, wx, kmax, ly
+
+
+def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
+                 H: int, W: int, cfg: HesaffConfig, KB: int):
+    P = cfg.patch_size
+    half_p = P >> 1
+    r_blur = KMAX // 2
+
+    def kernel(act_ref, r0_ref, c0_ref, img_ref, ws_ref,
+               x_ref, y_ref, a11_ref, a21_ref, a22_ref, its_ref, taps_ref,
+               images_ref, patch_ref, bad_ref,
+               win, wsbuf, sems):
+        def dma(kb):
+            return pltpu.make_async_copy(
+                images_ref.at[img_ref[0, kb],
+                              pl.ds(r0_ref[0, kb], WY),
+                              pl.ds(c0_ref[0, kb], WX)],
+                win.at[kb],
+                sems.at[kb],
+            )
+
+        for kb in range(KB):
+            @pl.when(act_ref[0, kb] != 0)
+            def _():
+                dma(kb).start()
+
+        for kb in range(KB):
+            @pl.when(act_ref[0, kb] != 0)
+            def _():
+                dma(kb).wait()
+                w = win[kb]
+                x = x_ref[0, kb]
+                y = y_ref[0, kb]
+                a11 = a11_ref[0, kb]
+                a21 = a21_ref[0, kb]
+                a22 = a22_ref[0, kb]
+                its = its_ref[0, kb]
+                ws = ws_ref[0, kb]                      # true workspace side
+                r0f = jnp.float32(r0_ref[0, kb])
+                c0f = jnp.float32(c0_ref[0, kb])
+                half = jnp.float32(ws >> 1)
+                wsm1 = jnp.float32(ws - 1)
+
+                # ---- x-pass: ys = win @ ExT  (WY, bucket) ----
+                q_x = jax.lax.broadcasted_iota(jnp.float32, (WX, bucket), 1)
+                eff_x = jnp.minimum(q_x, wsm1) - half
+                wxq = x + eff_x * a11
+                x0f = jnp.floor(wxq)
+                fxq = wxq - x0f
+                valid_x = (x0f >= 0) & (x0f < W - 1)
+                exq = jax.lax.broadcasted_iota(
+                    jnp.float32, (WX, bucket), 0) - (x0f - c0f)
+                ExT = jnp.where(
+                    valid_x,
+                    jnp.where(exq == 0, 1.0 - fxq,
+                              jnp.where(exq == 1, fxq, 0.0)),
+                    0.0,
+                )
+                ys = jnp.dot(w, ExT, preferred_element_type=jnp.float32,
+                             precision=_HI)          # (WY, bucket)
+                vx_row = valid_x[0:1, :]             # (1, bucket)
+
+                # ---- y-pass: one output row per step ----
+                iota_i = jax.lax.broadcasted_iota(
+                    jnp.float32, (1, bucket), 1)
+                eff_i = jnp.minimum(iota_i, wsm1) - half
+                cy = y + eff_i * a21                 # (1, bucket) row bases
+                span = jnp.abs(a21) * wsm1 + 4.0
+                iota_ly = jax.lax.broadcasted_iota(
+                    jnp.float32, (LY, bucket), 0)
+                iota_wy = jax.lax.broadcasted_iota(
+                    jnp.float32, (WY, bucket), 0)
+                cmin = jnp.minimum(cy[0, 0], cy[0, bucket - 1])
+
+                def row_fast(j, bad):
+                    effj = jnp.minimum(jnp.float32(j), wsm1) - half
+                    wyj = cy + effj * a22            # (1, bucket)
+                    base = jnp.clip(
+                        (cmin - r0f + effj * a22 - 1.0).astype(jnp.int32),
+                        0, WY - LY)
+                    basef = jnp.float32(base)
+                    y0f = jnp.floor(wyj)
+                    fy = wyj - y0f
+                    valid_y = (y0f >= 0) & (y0f < H - 1)
+                    eyj = iota_ly - (y0f - r0f - basef)
+                    Ey = jnp.where(
+                        valid_y,
+                        jnp.where(eyj == 0, 1.0 - fy,
+                                  jnp.where(eyj == 1, fy, 0.0)),
+                        0.0,
+                    )
+                    band = jax.lax.dynamic_slice(
+                        ys, (base, 0), (LY, bucket))
+                    wsbuf[j, :] = jnp.sum(Ey * band, axis=0)
+                    return bad | jnp.any(~(valid_y & vx_row))
+
+                def row_full(j, bad):
+                    effj = jnp.minimum(jnp.float32(j), wsm1) - half
+                    wyj = cy + effj * a22
+                    y0f = jnp.floor(wyj)
+                    fy = wyj - y0f
+                    valid_y = (y0f >= 0) & (y0f < H - 1)
+                    eyj = iota_wy - (y0f - r0f)
+                    Ey = jnp.where(
+                        valid_y,
+                        jnp.where(eyj == 0, 1.0 - fy,
+                                  jnp.where(eyj == 1, fy, 0.0)),
+                        0.0,
+                    )
+                    wsbuf[j, :] = jnp.sum(Ey * ys, axis=0)
+                    return bad | jnp.any(~(valid_y & vx_row))
+
+                bad = jax.lax.cond(
+                    span <= LY - 2,
+                    lambda: jax.lax.fori_loop(
+                        0, bucket, row_fast, jnp.bool_(False)),
+                    lambda: jax.lax.fori_loop(
+                        0, bucket, row_full, jnp.bool_(False)),
+                )
+
+                # ---- separable blur (edge replicate; _blur_one) ----
+                wsp = wsbuf[:]
+                pad_t = jnp.broadcast_to(wsp[0:1, :], (r_blur, bucket))
+                pad_b = jnp.broadcast_to(wsp[bucket - 1:bucket, :],
+                                         (r_blur, bucket))
+                pcol = jnp.concatenate([pad_t, wsp, pad_b], axis=0)
+                acc = None
+                for t in range(KMAX):
+                    term = taps_ref[0, kb, t] * jax.lax.slice_in_dim(
+                        pcol, t, t + bucket, axis=0)
+                    acc = term if acc is None else acc + term
+                pad_l = jnp.broadcast_to(acc[:, 0:1], (bucket, r_blur))
+                pad_r = jnp.broadcast_to(acc[:, bucket - 1:bucket],
+                                         (bucket, r_blur))
+                prow = jnp.concatenate([pad_l, acc, pad_r], axis=1)
+                acc2 = None
+                for t in range(KMAX):
+                    term = taps_ref[0, kb, t] * jax.lax.slice_in_dim(
+                        prow, t, t + bucket, axis=1)
+                    acc2 = term if acc2 is None else acc2 + term
+
+                # ---- subsample: patch = S @ blurred @ ST ----
+                ofs = jnp.float32(ws >> 1)
+                k_s = jax.lax.broadcasted_iota(
+                    jnp.float32, (P, bucket), 0) - half_p
+                pos = ofs + k_s * its
+                p0 = jnp.floor(pos)
+                fs = pos - p0
+                ds = jax.lax.broadcasted_iota(
+                    jnp.float32, (P, bucket), 1) - p0
+                S = jnp.where(ds == 0, 1.0 - fs,
+                              jnp.where(ds == 1, fs, 0.0))
+                k_t = jax.lax.broadcasted_iota(
+                    jnp.float32, (bucket, P), 1) - half_p
+                pos_t = ofs + k_t * its
+                p0t = jnp.floor(pos_t)
+                fst = pos_t - p0t
+                dst = jax.lax.broadcasted_iota(
+                    jnp.float32, (bucket, P), 0) - p0t
+                ST = jnp.where(dst == 0, 1.0 - fst,
+                               jnp.where(dst == 1, fst, 0.0))
+                tpatch = jnp.dot(S, acc2, preferred_element_type=jnp.float32,
+                                 precision=_HI)
+                patch_ref[kb] = jnp.dot(
+                    tpatch, ST, preferred_element_type=jnp.float32,
+                    precision=_HI)
+                bad_ref[0, kb] = bad.astype(jnp.int32)
+
+            @pl.when(act_ref[0, kb] == 0)
+            def _():
+                patch_ref[kb] = jnp.zeros((P, P), jnp.float32)
+                bad_ref[0, kb] = 1
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("bucket", "cfg", "interpret"))
+def patches_pallas(images: jnp.ndarray, bucket: int, act, img_idx, r0, c0,
+                   ws, x, y, a11, a21, a22, its, taps, cfg: HesaffConfig,
+                   interpret: bool = False):
+    """Fused patch pipeline over K keypoints of one bucket group.
+
+    images: (B, H, W) f32 (HBM); act/img_idx/r0/c0/ws: (K,) int32
+    (origins pre-clipped; padding slots sanitized); x/y/a11/a21/a22/its:
+    (K,) f32; taps: (K, KMAX) f32 per-keypoint normalized blur taps.
+    K must be a multiple of the block.  Returns (patches (K, P, P),
+    bad (K,) int32 — boundary-touched or padding).
+    """
+    B, H, W = images.shape
+    K = act.shape[0]
+    KB = 8 if bucket <= 128 else (4 if bucket <= 384 else 2)
+    assert K % KB == 0
+    WY, WX, KMAX, LY = group_geometry(
+        bucket, H, W, cfg.patch_size, cfg.patch_smooth_factor)
+    assert taps.shape[1] == KMAX
+    P = cfg.patch_size
+
+    kernel = _make_kernel(bucket, WY, WX, KMAX, LY, H, W, cfg, KB)
+    grid = (K // KB,)
+    sblk = lambda: pl.BlockSpec((1, KB), lambda g: (g, 0),
+                                memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            sblk(),  # act
+            sblk(),  # r0
+            sblk(),  # c0
+            sblk(),  # img_idx
+            sblk(),  # ws
+            sblk(),  # x
+            sblk(),  # y
+            sblk(),  # a11
+            sblk(),  # a21
+            sblk(),  # a22
+            sblk(),  # its
+            pl.BlockSpec((1, KB, KMAX), lambda g: (g, 0, 0),
+                         memory_space=pltpu.SMEM),  # taps
+            pl.BlockSpec(memory_space=pl.ANY),      # images (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec((KB, P, P), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, KB), lambda g: (g, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((K, P, P), jnp.float32),
+            jax.ShapeDtypeStruct((K // KB, KB), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((KB, WY, WX), jnp.float32),
+            pltpu.VMEM((bucket, bucket), jnp.float32),
+            pltpu.SemaphoreType.DMA((KB,)),
+        ],
+        interpret=interpret,
+    )(*(a.reshape(-1, KB) for a in (act, r0, c0, img_idx, ws)),
+      *(a.reshape(-1, KB) for a in (x, y, a11, a21, a22, its)),
+      taps.reshape(-1, KB, taps.shape[1]), images)
+
+
+def extract_group_pallas(images: jnp.ndarray, bucket: int, img_idx,
+                         x, y, s, a11, a21, a22, cfg: HesaffConfig,
+                         active, interpret: bool = False):
+    """XLA-side wrapper: per-keypoint parameters + corner check + kernel.
+
+    Mirrors patches.extract_bucket_batch for the blur branch (the
+    caller routes direct-branch keypoints elsewhere).  Returns
+    (patches (K, P, P), ok (K,)).
+    """
+    from hesaff_tpu.ops.warp import check_borders
+    from hesaff_tpu.patches import _device_gauss_taps
+
+    B, H, W = images.shape
+    P = cfg.patch_size
+    K = x.shape[0]
+    WY, WX, KMAX, _ = group_geometry(
+        bucket, H, W, P, cfg.patch_smooth_factor)
+
+    mr_scale = jnp.ceil(s * cfg.mr_size)
+    S = 2 * mr_scale.astype(jnp.int32) + 1
+    its = S.astype(jnp.float32) / P
+    ws = S + 2
+
+    corner_bad = jax.vmap(
+        lambda itss, b11, b21, b22, xx, yy: check_borders(
+            H, W, P, P, xx, yy,
+            b11 * itss, 0.0, b21 * itss, b22 * itss,
+        )
+    )(its, a11, a21, a22, x, y)
+
+    sigma = cfg.patch_smooth_factor * its
+    ksz = (2.0 * 3.0 * sigma + 1.0).astype(jnp.int32)
+    ksz = ksz + 1 - (ksz % 2)
+    taps = jax.vmap(
+        lambda sg, kz: _device_gauss_taps(sg, kz, KMAX)
+    )(sigma, ksz)
+
+    r0 = jnp.clip(y.astype(jnp.int32) - WY // 2, 0, H - WY)
+    c0 = jnp.clip(x.astype(jnp.int32) - WX // 2, 0, W - WX)
+    act = active.astype(jnp.int32)
+    img = jnp.where(active, img_idx, 0)
+    r0 = jnp.where(active, r0, 0)
+    c0 = jnp.where(active, c0, 0)
+    ws_s = jnp.where(active, ws, 3)
+
+    KB = 8 if bucket <= 128 else (4 if bucket <= 384 else 2)
+    pad = (-K) % KB
+    if pad:
+        padded = lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+        act, img, r0, c0, ws_s = map(padded, (act, img, r0, c0, ws_s))
+        x, y, a11, a21, a22, its = map(padded, (x, y, a11, a21, a22, its))
+        taps = padded(taps)
+
+    patches, bad = patches_pallas(
+        images, bucket, act, img, r0, c0, ws_s, x, y, a11, a21, a22,
+        its, taps, cfg, interpret=interpret,
+    )
+    bad = bad.reshape(-1)
+    sl = slice(0, K)
+    ok = active & ~corner_bad & (bad[sl] == 0)
+    return patches[sl], ok
