@@ -13,7 +13,9 @@
 //       /root/reference/affine.cpp /root/reference/siftdesc.cpp \
 //       $(pkg-config opencv4 --cflags --libs) -lrt -o gen_golden
 //
-// Usage: gen_golden image.ppm outdir num_stage_octaves
+// Usage: gen_golden image.ppm outdir num_stage_octaves [upscale]
+//   upscale=1 sets PyramidParams.upscaleInputImage (pyramid.cpp:267-273,
+//   doubleImage at helpers.cpp:297-329) for the 2x-input parity pack.
 
 #include <cstdio>
 #include <cstring>
@@ -50,6 +52,34 @@ static void dumpVec(const string &name, const vector<float> &v, int rows,
   fprintf(g_manifest, "%s f32 %d %d\n", name.c_str(), rows, cols);
 }
 
+// Intent-correct doubleImage. The reference's (helpers.cpp:297-329) is
+// latent UB its default-off config never exercises: the flat input
+// pointer advances cols-1 times per row (so row r reads flat[r*(cols-1)
+// + c] — a progressive shear), `in[input.step]` indexes BYTES as
+// floats (4 rows down for f32), and the last output row/col stay
+// uninitialized.  Verified empirically: the dumped "doubled" plane
+// equals flat[r*(cols-1)+c] at even-even sites, and back-to-back runs
+// differ in keypoint count (101 vs 105) from the uninitialized border.
+// Golden data for the upscale path therefore uses the evident intent —
+// midpoint bilinear 2x with edge replication — matching SURVEY.md's
+// rule for reference UB (zero-init/define, don't reproduce).
+static Mat doubleImageFixed(const Mat &input) {
+  Mat n(input.rows * 2, input.cols * 2, input.type());
+  for (int r = 0; r < input.rows; r++) {
+    int rn = r + 1 < input.rows ? r + 1 : input.rows - 1;
+    for (int c = 0; c < input.cols; c++) {
+      int cn = c + 1 < input.cols ? c + 1 : input.cols - 1;
+      float v00 = input.at<float>(r, c), v01 = input.at<float>(r, cn);
+      float v10 = input.at<float>(rn, c), v11 = input.at<float>(rn, cn);
+      n.at<float>(2 * r, 2 * c) = v00;
+      n.at<float>(2 * r, 2 * c + 1) = 0.5f * (v00 + v01);
+      n.at<float>(2 * r + 1, 2 * c) = 0.5f * (v00 + v10);
+      n.at<float>(2 * r + 1, 2 * c + 1) = 0.25f * (v00 + v01 + v10 + v11);
+    }
+  }
+  return n;
+}
+
 // expose protected HessianDetector::hessianResponse for stage dumps
 struct RespAccess : public HessianDetector {
   RespAccess(const PyramidParams &p) : HessianDetector(p) {}
@@ -62,7 +92,14 @@ static void dumpPyramidStages(const Mat &gray, const PyramidParams &par,
                               int numOctaves) {
   RespAccess ra(par);
   float curSigma = 0.5f;
-  Mat firstLevel = gray.clone();
+  Mat firstLevel;
+  if (par.upscaleInputImage > 0) {  // pyramid.cpp:266-271, fixed resample
+    firstLevel = doubleImageFixed(gray);
+    curSigma *= 2.0f;
+    dumpMat("doubled", firstLevel);
+  } else {
+    firstLevel = gray.clone();
+  }
   if (par.initialSigma > curSigma) {
     float sigma = sqrt(par.initialSigma * par.initialSigma - curSigma * curSigma);
     gaussianBlurInplace(firstLevel, sigma);
@@ -150,6 +187,28 @@ struct GoldenDriver : public HessianDetector,
     nAff++;
   }
 
+  // mirrors detectPyramidKeypoints (pyramid.cpp:261-291) with the
+  // intent-correct doubleImageFixed; detectOctaveKeypoints is the
+  // reference's own (protected, reachable from this subclass)
+  void detectPyramidKeypointsUpscaleFixed(const Mat &img) {
+    float curSigma = 1.0f;          // 0.5 * 2 after upscale
+    float pixelDistance = 0.5f;
+    Mat firstLevel = doubleImageFixed(img);
+    if (HessianDetector::par.initialSigma > curSigma) {
+      float sigma = sqrt(HessianDetector::par.initialSigma *
+                             HessianDetector::par.initialSigma -
+                         curSigma * curSigma);
+      gaussianBlurInplace(firstLevel, sigma);
+    }
+    int minSize = 2 * HessianDetector::par.border + 2;
+    while (firstLevel.rows > minSize && firstLevel.cols > minSize) {
+      Mat next;
+      detectOctaveKeypoints(firstLevel, pixelDistance, next);
+      pixelDistance *= 2.0f;
+      firstLevel = next;
+    }
+  }
+
   // mirrors exportKeypoints (hesaff.cpp:107-130)
   void exportKeys(ostream &out) {
     out << 128 << endl;
@@ -179,6 +238,7 @@ int main(int argc, char **argv) {
   }
   g_outdir = argv[2];
   int numStageOctaves = atoi(argv[3]);
+  int upscale = argc > 4 ? atoi(argv[4]) : 0;
   g_manifest = fopen((g_outdir + "/manifest.txt").c_str(), "w");
 
   Mat tmp = imread(argv[1]);
@@ -194,6 +254,7 @@ int main(int argc, char **argv) {
 
   PyramidParams p;
   p.threshold = 16.0f / 3.0f;
+  p.upscaleInputImage = upscale;
   if (numStageOctaves > 0) dumpPyramidStages(image, p, numStageOctaves);
 
   AffineShapeParams ap;
@@ -204,7 +265,10 @@ int main(int argc, char **argv) {
   sp.patchSize = 41;
 
   GoldenDriver drv(image, p, ap, sp);
-  drv.detectPyramidKeypoints(image);
+  if (upscale)
+    drv.detectPyramidKeypointsUpscaleFixed(image);
+  else
+    drv.detectPyramidKeypoints(image);
 
   dumpVec("hess_keypoints", drv.hessRecs, (int)(drv.hessRecs.size() / 6), 6);
   dumpVec("affine_shapes", drv.affRecs, (int)(drv.affRecs.size() / 11), 11);

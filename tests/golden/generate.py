@@ -18,13 +18,16 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REF = "/root/reference"
 WORK = "/tmp/golden_work"
 
-# (image_name, num_stage_octaves). Stage tensors are bulky, so full pyramid
-# dumps only for the two small images; the 640x480 image gets end-to-end
-# records only.
+# (image_name, num_stage_octaves, upscale, pack_suffix). Stage tensors are
+# bulky, so full pyramid dumps only for the two small images; the 640x480
+# image gets end-to-end records only.  The upscale job gates the
+# doubleImage + pd=0.5 detection path (helpers.cpp:297-329,
+# pyramid.cpp:267-273) end to end.
 JOBS = [
-    ("synth_256x200", 3),
-    ("synth_200x160", 2),
-    ("synth_640x480", 0),
+    ("synth_256x200", 3, 0, ""),
+    ("synth_200x160", 2, 0, ""),
+    ("synth_640x480", 0, 0, ""),
+    ("synth_200x160", 0, 1, "_up"),
 ]
 
 
@@ -73,11 +76,13 @@ def main():
     build_tool()
     datadir = os.path.join(HERE, "data")
     os.makedirs(datadir, exist_ok=True)
-    for name, octaves in JOBS:
-        dumpdir = os.path.join(WORK, name)
+    for name, octaves, upscale, suffix in JOBS:
+        pname = name + suffix
+        dumpdir = os.path.join(WORK, pname)
         os.makedirs(dumpdir, exist_ok=True)
-        sh(f"{WORK}/gen_golden {WORK}/{name}.ppm {dumpdir} {octaves}")
-        pack(name, dumpdir, os.path.join(datadir, name + ".npz"))
+        sh(f"{WORK}/gen_golden {WORK}/{name}.ppm {dumpdir} {octaves} "
+           f"{upscale}")
+        pack(pname, dumpdir, os.path.join(datadir, pname + ".npz"))
         # also keep the source image next to the goldens
         import shutil
         shutil.copy(f"{WORK}/{name}.ppm", os.path.join(datadir, name + ".ppm"))

@@ -17,12 +17,38 @@ def test_extract_bit_deterministic(golden_small):
     np.testing.assert_array_equal(f1.desc, f2.desc)
 
 
-def test_upscale_config_runs(golden_small):
+def test_upscale_matches_oracle():
+    """End-to-end upscale path vs the dedicated golden pack: doubleImage
+    (/root/reference/helpers.cpp:297-329) + pd=0.5 first octave
+    (pyramid.cpp:267-273), gated like the default-path oracle test."""
+    import os
+
+    from hesaff_tpu.sift_io import ellipse_abc
+    from tests.conftest import GOLDEN_DIR, parse_sift_bytes
+
+    d = np.load(os.path.join(GOLDEN_DIR, "synth_200x160_up.npz"))
+    gu, gv, ge, gdesc = parse_sift_bytes(d["sift_file"])
     cfg = HesaffConfig(upscale_input=True)
-    feats = extract(golden_small["gray"][:80, :100], cfg)
-    # end-to-end through the doubled pyramid (pixelDistance 0.5 first
-    # octave); content on this crop is sparse, so just require output
-    assert feats.n > 0
+    feats = extract(d["gray"], cfg)
+
+    e00, e01, e11 = ellipse_abc(
+        feats.a11.astype(np.float64), feats.a12.astype(np.float64),
+        feats.a21.astype(np.float64), feats.a22.astype(np.float64),
+        feats.s.astype(np.float64), cfg.mr_size,
+    )
+    matched = 0
+    for i in range(len(gu)):
+        dd = np.hypot(feats.x - gu[i], feats.y - gv[i])
+        j = int(dd.argmin())
+        if dd[j] < 0.5:
+            matched += 1
+            ell = np.array([e00[j], e01[j], e11[j]])
+            rel = np.abs(ell - ge[i]).max() / max(np.abs(ge[i]).max(), 1e-12)
+            assert rel < 0.02, f"ellipse mismatch at oracle kp {i}"
+            l1 = np.abs(feats.desc[j].astype(np.int32) - gdesc[i]).mean()
+            assert l1 < 0.5, f"descriptor mismatch at oracle kp {i}"
+    assert matched >= 0.97 * len(gu), (matched, len(gu))
+    assert abs(feats.n - len(gu)) <= max(2, 0.05 * len(gu)), (feats.n, len(gu))
 
 
 def test_threshold_config():

@@ -1,5 +1,8 @@
 """Batch + sharded extraction tests on the 8-device CPU mesh."""
 
+import json
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -79,3 +82,40 @@ def test_sharded_step_matches_unsharded():
                                np.asarray(plain.x)[v], atol=1e-3)
     np.testing.assert_allclose(np.asarray(sharded.desc)[v],
                                np.asarray(plain.desc)[v], atol=1.0)
+
+
+def test_two_process_multihost(tmp_path):
+    """Real multi-process jax.distributed smoke (SURVEY.md §4 item 4):
+    two CPU processes + localhost coordinator run sharded extraction and
+    cross-process ring kNN via tests/multihost_smoke.py — the same
+    init_multihost + NamedSharding programs a TPU pod uses."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "multihost_smoke.py")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep + env.get("PYTHONPATH", ""))
+    env.pop("XLA_FLAGS", None)   # workers set their own device count
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, script, str(i), "2", str(port),
+             str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, (
+            f"process {i} failed:\n{outs[i][0]}\n{outs[i][1]}")
+    for i in range(2):
+        with open(os.path.join(str(tmp_path), f"ok_{i}.json")) as f:
+            rec = json.load(f)
+        assert rec["n_desc"] > 0

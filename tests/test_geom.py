@@ -74,6 +74,96 @@ def test_ba_converges_from_perturbed_init():
     assert err < 0.45          # recovered to the noise floor (0.3 px)
 
 
+def test_ba_sharded_matches_single_device():
+    """ba_solve_sharded on an 8-device mesh == the dense-E single-device
+    path (same LM schedule), and the unsharded track path agrees too."""
+    import jax
+    from hesaff_tpu.dist import make_mesh
+    from hesaff_tpu.geom.ba import ba_solve_sharded
+
+    (rv, tv, X, f, cx, cy, ci, pi, uv) = make_ba_problem(noise=0.3, seed=3)
+    rng = np.random.RandomState(7)
+    p = BAProblem(
+        cam_rvec=jnp.asarray(rv + rng.randn(*rv.shape) * 0.02),
+        cam_tvec=jnp.asarray(tv + rng.randn(*tv.shape) * 0.05),
+        points=jnp.asarray(X + rng.randn(*X.shape) * 0.05),
+        f=f, cx=cx, cy=cy,
+        cam_idx=jnp.asarray(ci), pt_idx=jnp.asarray(pi),
+        uv=jnp.asarray(uv), w=jnp.ones(len(ci), jnp.float32),
+    )
+    sol_d, err_d = ba_solve(p, iterations=12)
+    sol_t, err_t = ba_solve_sharded(p, mesh=None, iterations=12)
+    mesh = make_mesh(len(jax.devices()))
+    sol_s, err_s = ba_solve_sharded(p, mesh=mesh, iterations=12)
+
+    assert abs(err_t - err_d) < 0.02
+    assert abs(err_s - err_d) < 0.02
+    # f32 reduction order differs between the psum'd shards and the
+    # single-device sums, and LM accept/reject decisions can diverge on
+    # borderline steps — gate on convergence (rmse above) plus loose
+    # parameter agreement, not trajectory identity
+    np.testing.assert_allclose(np.asarray(sol_s.cam_rvec),
+                               np.asarray(sol_t.cam_rvec), atol=8e-3)
+    np.testing.assert_allclose(np.asarray(sol_s.points),
+                               np.asarray(sol_t.points), atol=6e-2)
+
+
+def test_ba_sharded_scales_past_dense_memory():
+    """50 cams / 10k points / ~40k observations — a size where the dense
+    (C, P, 6, 3) E would be 144 MB; the track layout stays
+    O(observations) and the sharded solve converges to the noise floor."""
+    import jax
+    from hesaff_tpu.dist import make_mesh
+    from hesaff_tpu.geom.ba import ba_solve_sharded
+
+    rng = np.random.RandomState(11)
+    C, P = 50, 10000
+    f, cx, cy = 500.0, 320.0, 240.0
+    # points strung along the trajectory, each seen by 4 nearby cameras
+    # (bounded track length T=4 keeps pair work O(P*T^2))
+    owner = rng.randint(0, C - 3, P)
+    X = np.stack([
+        owner * 0.8 + rng.rand(P) * 4 - 2,
+        rng.rand(P) * 4 - 2,
+        rng.rand(P) * 3 + 6,
+    ], 1).astype(np.float32)
+    rv_gt = np.stack([[0.0, 0.004 * c, 0.0] for c in range(C)]) \
+        .astype(np.float32)
+    tv_gt = np.stack([[-0.8 * c, 0.0, 0.0] for c in range(C)]) \
+        .astype(np.float32)
+    obs_c, obs_p, obs_uv = [], [], []
+    for dc in range(4):
+        c = owner + dc
+        R = np.asarray(so3_exp(jnp.asarray(rv_gt[c])))
+        Xc = np.einsum("pij,pj->pi", R, X) + tv_gt[c]
+        uv = np.stack([f * Xc[:, 0] / Xc[:, 2] + cx,
+                       f * Xc[:, 1] / Xc[:, 2] + cy], 1)
+        good = (Xc[:, 2] > 0.5)
+        obs_c.append(c[good])
+        obs_p.append(np.flatnonzero(good))
+        obs_uv.append(uv[good] + rng.randn(good.sum(), 2) * 0.3)
+    ci = np.concatenate(obs_c).astype(np.int32)
+    pi = np.concatenate(obs_p).astype(np.int32)
+    uv = np.concatenate(obs_uv).astype(np.float32)
+    assert len(ci) > 30000
+
+    p = BAProblem(
+        cam_rvec=jnp.asarray(rv_gt + rng.randn(C, 3).astype(np.float32)
+                             * 0.005),
+        cam_tvec=jnp.asarray(tv_gt + rng.randn(C, 3).astype(np.float32)
+                             * 0.02),
+        points=jnp.asarray(X + rng.randn(P, 3).astype(np.float32) * 0.02),
+        f=f, cx=cx, cy=cy,
+        cam_idx=jnp.asarray(ci), pt_idx=jnp.asarray(pi),
+        uv=jnp.asarray(uv), w=jnp.ones(len(ci), jnp.float32),
+    )
+    err0 = float(reprojection_rmse(p))
+    mesh = make_mesh(len(jax.devices()))
+    sol, err = ba_solve_sharded(p, mesh=mesh, iterations=8)
+    assert err0 > 1.5
+    assert err < 0.5
+
+
 def test_posegraph_closes_noise():
     rng = np.random.RandomState(2)
     N = 12
