@@ -41,30 +41,38 @@ from hesaff_tpu.pyramid import (
 from hesaff_tpu.sift import sift_descriptors
 
 
-def _detect_one_octave(resps, blurs, sig, pd: float, cfg: HesaffConfig):
+def _detect_one_octave(resps, blurs, sig, pd: float, cfg: HesaffConfig,
+                       valid_hw=None, octave: int = 0):
     """Per-image detection for one octave -> compacted keypoint dict."""
     H, W = resps.shape[-2], resps.shape[-1]
-    cap = cfg.level_capacity(H, W)
+    cap = cfg.level_capacity(H, W, octave)
     levels = [
         detect_level(resps[l - 1], resps[l], resps[l + 1],
-                     blurs[l], sig[l], pd, cap, cfg)
+                     blurs[l], sig[l], pd, cap, cfg, valid_hw=valid_hw)
         for l in (1, 2, 3)
     ]
     levels = dedup_octave(levels, H, W)
-    comp = compact_levels(levels, cfg.affine_capacity(H, W))
+    comp = compact_levels(levels, cfg.affine_capacity(H, W, octave))
     comp["overflow"] = comp["overflow"] + sum(lk.overflow for lk in levels)
     comp["n_cand"] = sum(lk.n_cand for lk in levels)
     return comp
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def detect_affine_batch(images: jnp.ndarray, cfg: HesaffConfig):
+def detect_affine_batch(images: jnp.ndarray, cfg: HesaffConfig,
+                        valid_hw=None):
     """Phase A over an image batch: (B, H, W) -> dict of (B, N_cap).
 
     Pyramid + detection vmap per image; the expensive affine stage runs
     once per octave over the CROSS-IMAGE flattened compacted keypoints —
     outside the vmap, so its chunked cond-skip genuinely elides padding
     (a vmapped lax.cond executes both branches).
+
+    valid_hw: optional traced (B, 2) int32 — per-image TRUE dims when
+    the batch is edge-padded to a shape bucket (mixed-size fleets reuse
+    one compiled program per bucket instead of one per exact size).
+    Detection scan windows use the true dims per octave, so padding
+    creates no extra keypoints; see utils/fleet for the bucketing.
     """
     from hesaff_tpu.affine_shape import adapt_flat
 
@@ -77,8 +85,14 @@ def detect_affine_batch(images: jnp.ndarray, cfg: HesaffConfig):
 
     cur = jax.vmap(prep)(images)
     pd = 0.5 if cfg.upscale_input else 1.0
+    vhw = None
+    if valid_hw is not None:
+        vhw = jnp.asarray(valid_hw, jnp.int32)
+        if cfg.upscale_input:
+            vhw = vhw * 2
 
     fields = defaultdict(list)
+    octave = 0
     while (cur.shape[-2] > cfg.min_octave_size
            and cur.shape[-1] > cfg.min_octave_size):
         H, W = cur.shape[-2], cur.shape[-1]
@@ -88,9 +102,20 @@ def detect_affine_batch(images: jnp.ndarray, cfg: HesaffConfig):
             return o.blurs, o.resps, o.next_first
 
         blurs, resps, nxt = jax.vmap(oct_fn)(cur)
-        comp = jax.vmap(
-            lambda r, b: _detect_one_octave(r, b, sig, pd, cfg)
-        )(resps, blurs)
+        if vhw is None:
+            comp = jax.vmap(
+                lambda r, b: _detect_one_octave(r, b, sig, pd, cfg,
+                                                octave=octave)
+            )(resps, blurs)
+        else:
+            comp = jax.vmap(
+                lambda r, b, v: _detect_one_octave(r, b, sig, pd, cfg,
+                                                   valid_hw=v,
+                                                   octave=octave)
+            )(resps, blurs, vhw)
+            # the true pyramid halves dims per octave (halfImage
+            # floor-divides; floors compose: h//2//2 == h//4)
+            vhw = vhw // 2
 
         cap = comp["ok"].shape[1]
         flat = {k: v.reshape(-1) for k, v in comp.items()
@@ -119,15 +144,17 @@ def detect_affine_batch(images: jnp.ndarray, cfg: HesaffConfig):
         fields["n_cand"].append(comp["n_cand"][:, None])
         cur = nxt
         pd *= 2.0
+        octave += 1
     return {k: jnp.concatenate(v, axis=1) for k, v in fields.items()}
 
 
 @functools.partial(jax.jit, static_argnames=("bucket", "prev_bucket", "cfg"))
 def _bucket_stage(images, bucket: int, prev_bucket: int, img_idx, x, y, s,
-                  a11, a12, a21, a22, active, cfg: HesaffConfig):
+                  a11, a12, a21, a22, active, cfg: HesaffConfig,
+                  valid_hw=None):
     return extract_bucket_batch(
         images, bucket, img_idx, x, y, s, a11, a12, a21, a22, cfg,
-        active=active, prev_bucket=prev_bucket,
+        active=active, prev_bucket=prev_bucket, valid_hw=valid_hw,
     )
 
 
@@ -136,15 +163,25 @@ def _pad_to(n: int, minimum: int = 64) -> int:
 
 
 def extract_batch(images, cfg: HesaffConfig = DEFAULT_CONFIG,
-                  return_stats: bool = False):
+                  return_stats: bool = False, valid_hw=None):
     """Extract features from a batch of same-size images.
 
     images: (B, H, W) float32.  Returns a list of B Features (and a
     batch-level ExtractStats when return_stats is set).
+
+    valid_hw: optional (B, 2) int32 per-image TRUE dims when the batch
+    is edge-padded to a shape bucket (mixed-size fleets; see
+    utils/fleet.pad_to_bucket).  Detection and the patch boundary check
+    then use the true dims, so padded extraction matches the unpadded
+    run (exact scan windows; near-edge affine windows may sample
+    replicated pad instead of the reference's out-of-image zeros —
+    a documented tolerance of the padded mode).
     """
     images = jnp.asarray(images, jnp.float32)
+    if valid_hw is not None:
+        valid_hw = jnp.asarray(valid_hw, jnp.int32)
     B = images.shape[0]
-    out = detect_affine_batch(images, cfg)
+    out = detect_affine_batch(images, cfg, valid_hw=valid_hw)
     out = jax.tree.map(np.asarray, out)
 
     ok = out["ok"]                       # (B, N_cap)
@@ -183,7 +220,7 @@ def extract_batch(images, cfg: HesaffConfig = DEFAULT_CONFIG,
                 *(jnp.asarray(fields[k][sel]) for k in
                   ("x", "y", "s", "a11", "a12", "a21", "a22")),
                 jnp.arange(npad) < len(idx),
-                cfg,
+                cfg, valid_hw=valid_hw,
             )
             patches[idx] = np.asarray(pk)[: len(idx)]
             patch_ok[idx] = np.asarray(pok)[: len(idx)]

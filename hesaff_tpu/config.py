@@ -96,9 +96,18 @@ class HesaffConfig:
             width //= 2
         return n
 
-    def level_capacity(self, height: int, width: int) -> int:
-        """Fixed candidate capacity for one detection level of an octave."""
-        cap = max(self.candidate_cap_min, (height * width) // self.candidate_cap_div)
+    def level_capacity(self, height: int, width: int,
+                       octave: int = 0) -> int:
+        """Fixed candidate capacity for one detection level of an octave.
+
+        The divisor halves per octave (floor 32): measured candidate
+        density per PIXEL roughly quadruples per octave on textured
+        imagery (blobs exist at every scale while pixels shrink 4x), so
+        a flat divisor under-sizes octave 1+ and silently-counted
+        overflow drops real keypoints.
+        """
+        div = max(self.candidate_cap_div >> octave, 32)
+        cap = max(self.candidate_cap_min, (height * width) // div)
         return min(self.candidate_cap_max, cap)
 
     def octave_candidate_capacity(self, height: int, width: int) -> int:
@@ -107,9 +116,13 @@ class HesaffConfig:
         cap = max(256, (height * width) // 96)
         return min(2 * self.candidate_cap_max, cap)
 
-    def affine_capacity(self, height: int, width: int) -> int:
-        """Compacted per-octave keypoint capacity for affine adaptation."""
-        cap = max(self.affine_cap_min, (height * width) // self.affine_cap_div)
+    def affine_capacity(self, height: int, width: int,
+                        octave: int = 0) -> int:
+        """Compacted per-octave keypoint capacity for affine adaptation.
+
+        Octave-scaled like level_capacity (density grows per octave)."""
+        div = max(self.affine_cap_div >> octave, 48)
+        cap = max(self.affine_cap_min, (height * width) // div)
         return min(self.affine_cap_max, cap)
 
 

@@ -70,11 +70,17 @@ def _nbhd_min(x: jnp.ndarray) -> jnp.ndarray:
     return m
 
 
-def candidate_mask(low, cur, high, cfg: HesaffConfig) -> jnp.ndarray:
+def candidate_mask(low, cur, high, cfg: HesaffConfig,
+                   valid_hw=None) -> jnp.ndarray:
     """Thresholded 3x3x3 strict NMS (pyramid.cpp:206-222, isMax/isMin 39-61).
 
     "Strict" in the reference sense: a candidate survives unless some
     neighbour is strictly greater (ties pass), i.e. val == windowed max.
+
+    valid_hw: optional traced (2,) int32 — the TRUE octave dims when the
+    level rides inside a shape-bucket-padded image; the scan window
+    [border, dim-border) then uses the true dims (pyramid.cpp:211-213),
+    so padding never creates keypoints the unpadded run would not.
     """
     H, W = cur.shape
     mx = jnp.maximum(jnp.maximum(_nbhd_max(low), _nbhd_max(cur)), _nbhd_max(high))
@@ -83,8 +89,12 @@ def candidate_mask(low, cur, high, cfg: HesaffConfig) -> jnp.ndarray:
     neg = (cur < cfg.negative_threshold) & (cur <= mn)
     mask = pos | neg
     b = cfg.border
-    keep = jnp.zeros_like(mask)
-    keep = keep.at[b : H - b, b : W - b].set(True)
+    h_eff = H if valid_hw is None else valid_hw[0]
+    w_eff = W if valid_hw is None else valid_hw[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    keep = ((rows >= b) & (rows < h_eff - b)
+            & (cols >= b) & (cols < w_eff - b))
     return mask & keep
 
 
@@ -220,7 +230,7 @@ def _walk_one(maps, edge_bad, blur, r0, c0, cur_scale, pixel_distance,
 
 def detect_level(low, cur, high, blur, cur_scale: float,
                  pixel_distance: float, capacity: int,
-                 cfg: HesaffConfig) -> LevelKeypoints:
+                 cfg: HesaffConfig, valid_hw=None) -> LevelKeypoints:
     """Candidates + batched localization for one detection level.
 
     Localization solves the quadratic fit DENSELY (VPU stencils over the
@@ -229,7 +239,7 @@ def detect_level(low, cur, high, blur, cur_scale: float,
     3x3x3 gathers + solves were the detection hot spot on TPU.
     """
     H, W = cur.shape
-    mask = candidate_mask(low, cur, high, cfg)
+    mask = candidate_mask(low, cur, high, cfg, valid_hw=valid_hw)
     rows, cols, valid, overflow = compact_candidates(mask, capacity)
     maps, edge_bad = _localization_maps(low, cur, high, cfg)
 

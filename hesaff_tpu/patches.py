@@ -236,7 +236,8 @@ def _direct_warp(images, ii, xx, yy, b11, b21, b22, its, P: int):
 
 def extract_bucket_batch(images: jnp.ndarray, bucket: int, img_idx,
                          x, y, s, a11, a12, a21, a22, cfg: HesaffConfig,
-                         active=None, prev_bucket: int = 0):
+                         active=None, prev_bucket: int = 0,
+                         valid_hw=None):
     """Batched patch extraction for keypoints assigned to one bucket.
 
     images: (B, H, W); img_idx + remaining array args: (K,) per-keypoint
@@ -260,12 +261,23 @@ def extract_bucket_batch(images: jnp.ndarray, bucket: int, img_idx,
     ws = S + 2
 
     H, W = images.shape[-2], images.shape[-1]
+    # valid_hw: traced (B, 2) TRUE image dims when `images` is padded to
+    # a shape bucket — the boundary pre-check (affine.cpp:112) must use
+    # the true dims so padded-mode patch acceptance matches the
+    # unpadded run
+    if valid_hw is None:
+        hk = jnp.full_like(img_idx, H)
+        wk = jnp.full_like(img_idx, W)
+    else:
+        vhw = jnp.asarray(valid_hw, jnp.int32)
+        hk = vhw[img_idx, 0]
+        wk = vhw[img_idx, 1]
     corner_bad = jax.vmap(
-        lambda itss, b11, b12, b21, b22, xx, yy: check_borders(
-            H, W, P, P, xx, yy,
+        lambda hh, ww, itss, b11, b12, b21, b22, xx, yy: check_borders(
+            hh, ww, P, P, xx, yy,
             b11 * itss, b12 * itss, b21 * itss, b22 * itss,
         )
-    )(its, a11, a12, a21, a22, x, y)
+    )(hk, wk, its, a11, a12, a21, a22, x, y)
 
     use_blur_branch = (bucket - 2) / P > cfg.oversample_cutoff
     # can this bucket hold keypoints with its <= cutoff?  its <= cutoff

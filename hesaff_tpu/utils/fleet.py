@@ -28,6 +28,24 @@ def _default_loader(path: str) -> np.ndarray:
     return load_image_gray(path)
 
 
+def pad_to_bucket(img: np.ndarray, multiple: int = 64):
+    """Edge-pad an image up to the next shape bucket.
+
+    Mixed-size fleets recompile the whole pipeline per exact (H, W) —
+    minutes per shape through the axon compile tunnel (SURVEY.md §7
+    shape bucketing).  Rounding dims up to `multiple` bounds the number
+    of compiled programs; extract_batch's valid_hw keeps detection scan
+    windows and patch border checks on the TRUE dims, so padding adds
+    no keypoints.  Returns (padded, (h, w)).
+    """
+    h, w = img.shape
+    hp = ((h + multiple - 1) // multiple) * multiple
+    wp = ((w + multiple - 1) // multiple) * multiple
+    if hp == h and wp == w:
+        return img, (h, w)
+    return np.pad(img, ((0, hp - h), (0, wp - w)), mode="edge"), (h, w)
+
+
 def extract_fleet(paths: Sequence[str], out_dir: str, cfg=None,
                   batch_size: int = 8,
                   loader: Callable[[str], np.ndarray] = _default_loader,
@@ -66,8 +84,9 @@ def extract_fleet(paths: Sequence[str], out_dir: str, cfg=None,
         )
 
     def run_one(path):
-        img = loader(path)
-        feats = extract_batch(img[None], cfg)[0]
+        img, true_hw = pad_to_bucket(loader(path))
+        feats = extract_batch(img[None], cfg,
+                              valid_hw=np.asarray([true_hw], np.int32))[0]
         write_one(path, feats)
 
     pending = [p for p in paths if p not in done
@@ -77,19 +96,22 @@ def extract_fleet(paths: Sequence[str], out_dir: str, cfg=None,
         chunk = pending[i:i + batch_size]
         i += batch_size
         try:
-            imgs = [loader(p) for p in chunk]
-            shapes = {im.shape for im in imgs}
-            if len(shapes) == 1 and len(imgs) > 1:
-                from hesaff_tpu.batch import extract_batch
-
-                feats = extract_batch(np.stack(imgs), cfg)
-                for p, f in zip(chunk, feats):
-                    write_one(p, f)
-                    cursor["done"].append(p)
-            else:
-                for p in chunk:
-                    run_one(p)
-                    cursor["done"].append(p)
+            imgs = [pad_to_bucket(loader(p)) for p in chunk]
+            by_bucket = {}
+            for p, (im, hw) in zip(chunk, imgs):
+                by_bucket.setdefault(im.shape, []).append((p, im, hw))
+            for group in by_bucket.values():
+                if len(group) > 1:
+                    feats = extract_batch(
+                        np.stack([im for _, im, _ in group]), cfg,
+                        valid_hw=np.asarray([hw for _, _, hw in group],
+                                            np.int32))
+                    for (p, _, _), f in zip(group, feats):
+                        write_one(p, f)
+                        cursor["done"].append(p)
+                else:
+                    run_one(group[0][0])
+                    cursor["done"].append(group[0][0])
         except Exception:
             # isolate: retry each image alone; only the bad one fails
             for p in chunk:

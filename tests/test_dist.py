@@ -119,3 +119,28 @@ def test_two_process_multihost(tmp_path):
         with open(os.path.join(str(tmp_path), f"ok_{i}.json")) as f:
             rec = json.load(f)
         assert rec["n_desc"] > 0
+
+
+def test_padded_extraction_matches_unpadded(golden_small):
+    """Shape-bucket padding (mixed-size fleets): edge-pad + valid_hw
+    reproduces the unpadded run — detection scan windows and patch
+    border checks ride the true dims, so padding adds no keypoints."""
+    from hesaff_tpu.utils.fleet import pad_to_bucket
+
+    img = np.asarray(golden_small["gray"], np.float32)
+    f0 = extract_batch(img[None], CFG)[0]
+    padded, hw = pad_to_bucket(img, 64)
+    assert padded.shape != img.shape
+    f1 = extract_batch(padded[None], CFG,
+                       valid_hw=np.asarray([hw], np.int32))[0]
+    # same keypoint set within tolerance (near-edge affine windows may
+    # sample replicated pad instead of out-of-image zeros)
+    assert abs(f1.n - f0.n) <= max(2, 0.03 * f0.n)
+    matched = 0
+    for i in range(f0.n):
+        dd = np.hypot(f1.x - f0.x[i], f1.y - f0.y[i])
+        j = int(dd.argmin())
+        if dd[j] < 0.25:
+            matched += 1
+            assert abs(f1.s[j] - f0.s[i]) < 0.05 * f0.s[i] + 1e-3
+    assert matched >= 0.97 * f0.n
