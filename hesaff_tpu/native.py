@@ -32,7 +32,8 @@ def _load():
             if (not os.path.exists(_LIB)
                     or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
                 subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB],
+                    ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB,
+                     "-lz"],
                     check=True, capture_output=True,
                 )
             lib = ctypes.CDLL(_LIB)
@@ -40,6 +41,12 @@ def _load():
             return None
         lib.hesaff_decode_pnm_gray.restype = ctypes.c_int
         lib.hesaff_decode_pnm_gray.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.hesaff_decode_png_gray.restype = ctypes.c_int
+        lib.hesaff_decode_png_gray.argtypes = [
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -59,6 +66,30 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def decode_png_gray(data: bytes):
+    """8-bit non-interlaced PNG bytes -> (H, W) float32 gray with
+    equal-weight (R+G+B)/3, or None (unsupported variant / no lib)."""
+    lib = _load()
+    if lib is None or len(data) < 33:
+        return None
+    import struct
+
+    w0, h0 = struct.unpack(">II", data[16:24])
+    if w0 == 0 or h0 == 0 or w0 * h0 > (1 << 31):
+        return None
+    out = np.empty(w0 * h0, np.float32)
+    w = ctypes.c_int32()
+    h = ctypes.c_int32()
+    rc = lib.hesaff_decode_png_gray(
+        data, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), w0 * h0,
+        ctypes.byref(w), ctypes.byref(h),
+    )
+    if rc != 0:
+        return None
+    return out[: w.value * h.value].reshape(h.value, w.value)
 
 
 def decode_pnm_gray(data: bytes):

@@ -116,7 +116,21 @@ def load_image_gray(path: str) -> np.ndarray:
         if out is not None:
             return out
         return _load_pnm_gray(path)
-    from PIL import Image  # pragma: no cover - optional path
+    if magic == b"\x89P":
+        from hesaff_tpu import native
+
+        with open(path, "rb") as f:
+            data = f.read()
+        out = native.decode_png_gray(data)
+        if out is not None:
+            return out
+        # unsupported PNG variant (16-bit / interlaced) -> PIL below
+    try:
+        from PIL import Image  # optional: exotic formats (JPEG, TIFF...)
+    except ImportError as e:  # pragma: no cover
+        raise ValueError(
+            f"cannot decode {path!r}: native decoders cover PNM and 8-bit "
+            "PNG; install pillow for other formats") from e
 
     img = np.asarray(Image.open(path).convert("RGB"), np.float32)
     return img.mean(axis=-1)

@@ -151,3 +151,124 @@ int64_t hesaff_read_sift(const char *path, double *geom, uint8_t *desc,
 }
 
 }  // extern "C"
+
+// --- PNG decode (8-bit, non-interlaced; gray/RGB/palette/alpha) ---
+//
+// The reference accepts anything cv::imread reads (hesaff.cpp:137);
+// PNM covers the benchmark corpus but real fleets carry PNG.  This is
+// a dependency-free decoder over zlib: IDAT inflate + per-row filter
+// reconstruction (types 0-4), then the same equal-weight (R+G+B)/3
+// gray conversion (alpha ignored, as cv::imread's default BGR load).
+// 16-bit / interlaced files return -1 and callers fall back to PIL.
+
+#include <zlib.h>
+
+static uint32_t be32(const uint8_t *p) {
+  return ((uint32_t)p[0] << 24) | ((uint32_t)p[1] << 16) |
+         ((uint32_t)p[2] << 8) | p[3];
+}
+
+extern "C" int hesaff_decode_png_gray(const uint8_t *data, int64_t size,
+                                      float *out, int64_t max_pixels,
+                                      int32_t *width, int32_t *height) {
+  static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  if (size < 45 || memcmp(data, sig, 8) != 0) return -1;
+  if (be32(data + 8) != 13 || memcmp(data + 12, "IHDR", 4) != 0) return -1;
+  const uint32_t w = be32(data + 16), h = be32(data + 20);
+  const int bitdepth = data[24], color = data[25];
+  const int comp = data[26], filt = data[27], inter = data[28];
+  if (bitdepth != 8 || comp != 0 || filt != 0 || inter != 0) return -1;
+  int ch;
+  switch (color) {
+    case 0: ch = 1; break;   // gray
+    case 2: ch = 3; break;   // rgb
+    case 3: ch = 1; break;   // palette
+    case 4: ch = 2; break;   // gray+alpha
+    case 6: ch = 4; break;   // rgba
+    default: return -1;
+  }
+  if (w == 0 || h == 0) return -1;
+  if ((int64_t)w * h > max_pixels) return -2;
+
+  const uint8_t *plte = nullptr;
+  int64_t plte_n = 0;
+  uint8_t *idat = nullptr;
+  size_t idat_sz = 0;
+  int64_t pos = 33;  // signature + IHDR chunk
+  while (pos + 12 <= size) {
+    const uint32_t len = be32(data + pos);
+    const uint8_t *type = data + pos + 4;
+    if (pos + 12 + (int64_t)len > size) { free(idat); return -1; }
+    const uint8_t *payload = data + pos + 8;
+    if (memcmp(type, "PLTE", 4) == 0) {
+      plte = payload;
+      plte_n = len / 3;
+    } else if (memcmp(type, "IDAT", 4) == 0) {
+      uint8_t *nb = (uint8_t *)realloc(idat, idat_sz + len);
+      if (!nb) { free(idat); return -1; }
+      idat = nb;
+      memcpy(idat + idat_sz, payload, len);
+      idat_sz += len;
+    } else if (memcmp(type, "IEND", 4) == 0) {
+      break;
+    }
+    pos += 12 + (int64_t)len;
+  }
+  if (!idat || (color == 3 && !plte)) { free(idat); return -1; }
+
+  const int64_t stride = (int64_t)w * ch;
+  const int64_t rawsz = (stride + 1) * h;
+  uint8_t *raw = (uint8_t *)malloc(rawsz);
+  if (!raw) { free(idat); return -1; }
+  uLongf dl = (uLongf)rawsz;
+  const int zrc = uncompress(raw, &dl, idat, (uLong)idat_sz);
+  free(idat);
+  if (zrc != Z_OK || (int64_t)dl != rawsz) { free(raw); return -1; }
+
+  for (uint32_t r = 0; r < h; r++) {
+    uint8_t *row = raw + (int64_t)r * (stride + 1);
+    const int f = row[0];
+    uint8_t *cur = row + 1;
+    const uint8_t *up = r ? raw + (int64_t)(r - 1) * (stride + 1) + 1
+                          : nullptr;
+    for (int64_t i = 0; i < stride; i++) {
+      const int a = i >= ch ? cur[i - ch] : 0;
+      const int b = up ? up[i] : 0;
+      const int c = (up && i >= ch) ? up[i - ch] : 0;
+      int x = cur[i];
+      switch (f) {
+        case 0: break;
+        case 1: x += a; break;
+        case 2: x += b; break;
+        case 3: x += (a + b) >> 1; break;
+        case 4: {
+          const int p = a + b - c;
+          const int pa = abs(p - a), pb = abs(p - b), pc = abs(p - c);
+          x += (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+          break;
+        }
+        default: free(raw); return -1;
+      }
+      cur[i] = (uint8_t)x;
+    }
+    float *orow = out + (int64_t)r * w;
+    for (uint32_t cx = 0; cx < w; cx++) {
+      const uint8_t *px = cur + (int64_t)cx * ch;
+      float v;
+      if (color == 0 || color == 4) {
+        v = px[0];
+      } else if (color == 3) {
+        if (px[0] >= plte_n) { free(raw); return -1; }
+        const uint8_t *pp = plte + 3 * px[0];
+        v = ((float)pp[0] + pp[1] + pp[2]) / 3.0f;
+      } else {
+        v = ((float)px[0] + px[1] + px[2]) / 3.0f;
+      }
+      orow[cx] = v;
+    }
+  }
+  free(raw);
+  *width = (int32_t)w;
+  *height = (int32_t)h;
+  return 0;
+}
