@@ -202,8 +202,11 @@ def adapt_flat(blur_stacks: jnp.ndarray, img_idx, src_level, x, y, s,
     """
     B, L, H, W = blur_stacks.shape
     swin = sample_window_size(cfg, H, W)
+    from hesaff_tpu.ops.pallas_affine import pallas_window_fits
+
     if (cfg.use_pallas and jax.default_backend() == "tpu"
-            and swin == unclamped_window_size(cfg)):
+            and swin == unclamped_window_size(cfg)
+            and pallas_window_fits(cfg, H, W)):
         from hesaff_tpu.ops.pallas_affine import adapt_flat_pallas
 
         return adapt_flat_pallas(

@@ -194,6 +194,11 @@ def _describe_stage(patches, cfg: HesaffConfig):
     return sift_descriptors(patches, cfg).astype(jnp.uint8)
 
 
+# fused-Pallas patch kernels fit the 16 MB scoped VMEM up to this
+# bucket size (measured on v5e); larger groups fall back to XLA
+_PALLAS_GROUP_MAX = 384
+
+
 def default_group_spec(height: int, width: int,
                        cfg: HesaffConfig = DEFAULT_CONFIG,
                        per_image_cap: int = 512,
@@ -245,107 +250,141 @@ def _sift_masked(patches, active, cfg: HesaffConfig, chunk: int = 1024):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "groups", "ncap", "interpret"))
-def _phase_b_grouped(images, flat, cfg: HesaffConfig,
-                     groups: Sequence[tuple], ncap: int,
-                     interpret: bool = False):
-    """Whole phase B as ONE program: group selection + fused Pallas
-    patch kernels + masked SIFT.  Replaces 16+ per-bucket stages (each
-    a separate dispatch through the device tunnel).
-    """
+                   static_argnames=("cfg", "bsize", "bcap", "prev",
+                                    "ncap", "mixed", "interpret"))
+def _group_select_stage(images, flat, cfg: HesaffConfig, bsize: int,
+                        bcap: int, prev: int, ncap: int, mixed: bool,
+                        interpret: bool = False):
+    """One group's selection + fused Pallas patch kernel (small jit)."""
     from hesaff_tpu.ops.pallas_patches import extract_group_pallas
-    from hesaff_tpu.patches import _min_workspace
+
+    ok = flat["ok"]
+    mr_scale = jnp.ceil(flat["s"] * cfg.mr_size)
+    ws = 2 * mr_scale.astype(jnp.int32) + 3
+    m = ok & (ws > prev) & (ws <= bsize)
+    if mixed:
+        its_all = (ws - 2).astype(jnp.float32) / cfg.patch_size
+        m = m & ~(its_all <= cfg.oversample_cutoff)
+    idx, valid, over = compact_indices(m, bcap)
+    gi = (idx // ncap).astype(jnp.int32)
+    a = {k: flat[k][idx] for k in
+         ("x", "y", "s", "a11", "a12", "a21", "a22", "response")}
+    a["type"] = flat["type"][idx].astype(jnp.int32)
+    pk, pok = extract_group_pallas(
+        images, bsize, gi, a["x"], a["y"], a["s"],
+        a["a11"], a["a21"], a["a22"], cfg, active=valid,
+        interpret=interpret,
+    )
+    return pk, pok, gi, a, valid, over
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "dcap", "ncap"))
+def _direct_branch_stage(images, flat, cfg: HesaffConfig, dcap: int,
+                         ncap: int):
+    """Direct-warp keypoints (its <= 0.4; affine.cpp:115,135)."""
     from hesaff_tpu.ops.batching import chunked_vmap
+    from hesaff_tpu.ops.warp import check_borders
     from hesaff_tpu.patches import _direct_warp
 
     ok = flat["ok"]
     mr_scale = jnp.ceil(flat["s"] * cfg.mr_size)
     S = 2 * mr_scale.astype(jnp.int32) + 1
-    ws = S + 2
     its_all = S.astype(jnp.float32) / cfg.patch_size
+    direct_m = ok & (its_all <= cfg.oversample_cutoff)
+    idx, valid, over = compact_indices(direct_m, dcap)
+    gi = (idx // ncap).astype(jnp.int32)
+    a = {k: flat[k][idx] for k in
+         ("x", "y", "s", "a11", "a12", "a21", "a22", "response")}
+    a["type"] = flat["type"][idx].astype(jnp.int32)
+    its_d = ((2 * jnp.ceil(a["s"] * cfg.mr_size).astype(jnp.int32) + 1)
+             .astype(jnp.float32) / cfg.patch_size)
+    H, W = images.shape[-2], images.shape[-1]
+    cbad = jax.vmap(
+        lambda itss, b11, b21, b22, xx, yy: check_borders(
+            H, W, cfg.patch_size, cfg.patch_size, xx, yy,
+            b11 * itss, 0.0, b21 * itss, b22 * itss,
+        )
+    )(its_d, a["a11"], a["a21"], a["a22"], a["x"], a["y"])
+    pk, touched = chunked_vmap(
+        lambda ii, xx, yy, b11, b21, b22, itss: _direct_warp(
+            images, ii, xx, yy, b11, b21, b22, itss, cfg.patch_size
+        ),
+        (gi, a["x"], a["y"], a["a11"], a["a21"], a["a22"], its_d),
+        max(8, min(dcap, 256)),
+        active=valid,
+    )
+    return pk, valid & ~cbad & ~touched, gi, a, valid, over
 
-    # per-keypoint direct-branch routing (affine.cpp:115,135): possible
-    # only when the smallest feasible workspace is under the cutoff
-    mixed = _min_workspace(cfg) <= cfg.oversample_cutoff * cfg.patch_size + 2
-    direct_m = ok & (its_all <= cfg.oversample_cutoff) if mixed else None
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _sift_masked_stage(patches, active, cfg: HesaffConfig):
+    return _sift_masked(patches, active, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _grouped_overflow_tail(flat, cfg: HesaffConfig, last_bucket):
+    ok = flat["ok"]
+    ws = 2 * jnp.ceil(flat["s"] * cfg.mr_size).astype(jnp.int32) + 3
+    return jnp.sum((ok & (ws > last_bucket)).astype(jnp.int32))
+
+
+def extraction_step_grouped(images, cfg: HesaffConfig,
+                            groups: Sequence[tuple],
+                            interpret: bool = False) -> DenseFeatures:
+    """TPU fast path: phase A (fused-affine detection) + chained
+    per-group fused-Pallas patch stages + masked SIFT.
+
+    All stages chain device-resident (async dispatch, zero host syncs);
+    each is a small, individually cached program — the one-giant-HLO
+    variant took 30-60 min through the remote-compile tunnel.
+    """
+    from hesaff_tpu.patches import _min_workspace
+
+    flat = _phase_a_flat(images, cfg)
+    ncap = flat["x"].shape[0] // images.shape[0]
+
+    mixed = (_min_workspace(cfg)
+             <= cfg.oversample_cutoff * cfg.patch_size + 2)
     pieces = []
-    overflow = jnp.int32(0)
+    overflow = flat["overflow"]
     prev = 0
     for bsize, bcap in groups:
-        m = ok & (ws > prev) & (ws <= bsize)
-        if mixed:
-            m = m & ~direct_m
-        idx, valid, over = compact_indices(m, bcap)
+        if bsize <= _PALLAS_GROUP_MAX:
+            # fused Pallas patch kernel (window resident in VMEM)
+            pk, pok, gi, a, valid, over = _group_select_stage(
+                images, flat, cfg, bsize, bcap, prev, ncap, mixed,
+                interpret=interpret)
+            pieces.append((pk, pok, gi, a, valid))
+        else:
+            # largest buckets: full-image windows blow the 16 MB scoped
+            # VMEM; their few keypoints take the XLA bucket path
+            pk, pok, gi, sel, over = _bucket_select_stage(
+                images, flat, cfg, bsize, bcap, prev, ncap)
+            pieces.append((pk, pok, gi, sel, None))
         overflow = overflow + over
-        gi = (idx // ncap).astype(jnp.int32)
-        a = {k: flat[k][idx] for k in
-             ("x", "y", "s", "a11", "a12", "a21", "a22", "response")}
-        a["type"] = flat["type"][idx].astype(jnp.int32)
-        pk, pok = extract_group_pallas(
-            images, bsize, gi, a["x"], a["y"], a["s"],
-            a["a11"], a["a21"], a["a22"], cfg, active=valid,
-            interpret=interpret,
-        )
-        pieces.append((pk, pok, gi, a, valid))
         prev = bsize
-    overflow = overflow + jnp.sum((ok & (ws > groups[-1][0])).astype(jnp.int32))
-
+    overflow = overflow + _grouped_overflow_tail(flat, cfg, groups[-1][0])
     if mixed:
-        # direct-warp keypoints (its <= 0.4) via the separable XLA path
         dcap = max(64, groups[0][1] // 4)
-        idx, valid, over = compact_indices(direct_m, dcap)
+        pk, pok, gi, a, valid, over = _direct_branch_stage(
+            images, flat, cfg, dcap, ncap)
+        pieces.append((pk, pok, gi, a, valid))
         overflow = overflow + over
-        gi = (idx // ncap).astype(jnp.int32)
-        a = {k: flat[k][idx] for k in
-             ("x", "y", "s", "a11", "a12", "a21", "a22", "response")}
-        a["type"] = flat["type"][idx].astype(jnp.int32)
-        its_d = ((2 * jnp.ceil(a["s"] * cfg.mr_size).astype(jnp.int32) + 1)
-                 .astype(jnp.float32) / cfg.patch_size)
-        from hesaff_tpu.ops.warp import check_borders
-        H, W = images.shape[-2], images.shape[-1]
-        cbad = jax.vmap(
-            lambda itss, b11, b21, b22, xx, yy: check_borders(
-                H, W, cfg.patch_size, cfg.patch_size, xx, yy,
-                b11 * itss, 0.0, b21 * itss, b22 * itss,
-            )
-        )(its_d, a["a11"], a["a21"], a["a22"], a["x"], a["y"])
-        pk, touched = chunked_vmap(
-            lambda ii, xx, yy, b11, b21, b22, itss: _direct_warp(
-                images, ii, xx, yy, b11, b21, b22, itss, cfg.patch_size
-            ),
-            (gi, a["x"], a["y"], a["a11"], a["a21"], a["a22"], its_d),
-            max(8, min(dcap, 256)),
-            active=valid,
-        )
-        pieces.append((pk, valid & ~cbad & ~touched, gi, a, valid))
 
     patches = jnp.concatenate([p[0] for p in pieces])
     pvalid = jnp.concatenate([p[1] for p in pieces])
     img_idx = jnp.concatenate([p[2] for p in pieces])
     fields = {k: jnp.concatenate([p[3][k] for p in pieces])
               for k in pieces[0][3]}
-    descs = _sift_masked(patches, pvalid, cfg)
-    return patches, pvalid, img_idx, fields, descs, overflow
-
-
-def extraction_step_grouped(images, cfg: HesaffConfig,
-                            groups: Sequence[tuple],
-                            interpret: bool = False) -> DenseFeatures:
-    """TPU fast path: phase A (fused-affine detection) + phase B as one
-    grouped-Pallas program.  Two dispatches + transfers total.
-    """
-    flat = _phase_a_flat(images, cfg)
-    ncap = flat["x"].shape[0] // images.shape[0]
-    patches, pvalid, img_idx, fields, descs, over_b = _phase_b_grouped(
-        images, flat, cfg, groups, ncap, interpret=interpret)
+    descs = _sift_masked_stage(patches, pvalid, cfg)
     return DenseFeatures(
         valid=pvalid, img_idx=img_idx,
         x=fields["x"], y=fields["y"], s=fields["s"],
         a11=fields["a11"], a12=fields["a12"],
         a21=fields["a21"], a22=fields["a22"],
         response=fields["response"], type=fields["type"],
-        desc=descs, overflow=flat["overflow"] + over_b,
+        desc=descs, overflow=overflow,
     )
 
 

@@ -17,6 +17,13 @@ the gradient/SMM stage wants (19, 19).  The fold is itself a pair of
 constant one-hot matmuls:  img(j,i) = sum_p AJ(j,p) * val(p) * BI(p,i)
 with AJ(j,p) = [p//19 == j], BI(p,i) = [p%19 == i] — avoiding an
 unsupported cross-lane reshape.
+
+DMA alignment: Mosaic requires dynamic HBM slice origins PROVABLY
+divisible by the (8, 128) tile — so the kernel receives origins as
+(row/8, col/128) block counts and copies an aligned superset window
+(semantic window rounded out to tile boundaries).  The out-of-window
+observability check still uses the semantic window so results match
+the XLA path bit-for-bit.
 """
 
 from __future__ import annotations
@@ -32,8 +39,22 @@ from jax.experimental.pallas import tpu as pltpu
 from hesaff_tpu.config import HesaffConfig
 from hesaff_tpu.ops.linalg import eigenvalues_2x2, inv_sqrt_2x2
 
-# keypoints per grid step (window scratch = KB * WIN^2 * 4 bytes)
+# keypoints per grid step (window scratch = KB * WINY * WINX * 4 bytes)
 _KB = 8
+
+
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+def aligned_window(win: int) -> tuple[int, int]:
+    """(WINY, WINX) of the tile-aligned DMA superset of a win^2 window.
+
+    Row origin aligns down to 8 (<=7 extra rows), col origin to 128
+    (<=127 extra cols); margins guarantee the semantic window is
+    covered wherever the origin lands.
+    """
+    return win + 8, _round_up(win, 128) + 128
 
 
 def _grid_constants(win_grid: int):
@@ -50,46 +71,61 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int):
     N = G * G                        # 361
     half = G >> 1
     mask_pixels = float(N)
+    WINY, WINX = aligned_window(WIN)
 
-    def kernel(src_ref, r0_ref, c0_ref, act_ref, lx_ref, ly_ref, ratio_ref,
+    def kernel(src_ref, rb_ref, cb_ref, act_ref, lx_ref, ly_ref, ratio_ref,
                stack_ref, mask_ref, aj_ref, bi_ref,
                ok_ref, u11_ref, u12_ref, u21_ref, u22_ref, iters_ref,
                wnd, sems):
         def dma(kb):
             return pltpu.make_async_copy(
-                stack_ref.at[src_ref[0, kb],
-                             pl.ds(r0_ref[0, kb], WIN),
-                             pl.ds(c0_ref[0, kb], WIN)],
+                stack_ref.at[src_ref[0, 0, kb],
+                             pl.ds(rb_ref[0, 0, kb] * 8, WINY),
+                             pl.ds(cb_ref[0, 0, kb] * 128, WINX)],
                 wnd.at[kb],
                 sems.at[kb],
             )
 
         for kb in range(KB):
-            @pl.when(act_ref[0, kb] != 0)
+            @pl.when(act_ref[0, 0, kb] != 0)
             def _():
                 dma(kb).start()
 
-        # constant per-sample-index grids, shaped for the one-hot build
-        p_i = jax.lax.broadcasted_iota(jnp.int32, (N, WIN), 0)
-        j_i = p_i // G
-        i_i = p_i - j_i * G
-        j_b = (j_i - half).astype(jnp.float32)
-        i_b = (i_i - half).astype(jnp.float32)
-        iota_w = jax.lax.broadcasted_iota(jnp.float32, (N, WIN), 1)
+        # constant per-sample-index grids: p -> (j, i) in the 19x19
+        # affine grid, one copy per one-hot operand shape
+        def coord_grids(width):
+            p_i = jax.lax.broadcasted_iota(jnp.int32, (N, width), 0)
+            j_i = p_i // G
+            i_i = p_i - j_i * G
+            return ((j_i - half).astype(jnp.float32),
+                    (i_i - half).astype(jnp.float32),
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (N, width), 1).astype(jnp.float32))
+
+        j_y, i_y, iota_y = coord_grids(WINY)
+        j_x, i_x, iota_x = coord_grids(WINX)
         # small (19,19) copies for the out-of-window check
-        j_s = jax.lax.broadcasted_iota(jnp.float32, (G, G), 0) - half
-        i_s = jax.lax.broadcasted_iota(jnp.float32, (G, G), 1) - half
+        j_s = jax.lax.broadcasted_iota(
+            jnp.int32, (G, G), 0).astype(jnp.float32) - half
+        i_s = jax.lax.broadcasted_iota(
+            jnp.int32, (G, G), 1).astype(jnp.float32) - half
 
         for kb in range(KB):
-            @pl.when(act_ref[0, kb] != 0)
+            @pl.when(act_ref[0, 0, kb] != 0)
             def _():
                 dma(kb).wait()
                 w = wnd[kb]
-                lx = lx_ref[0, kb]
-                ly = ly_ref[0, kb]
-                ratio = ratio_ref[0, kb]
-                r0f = jnp.float32(r0_ref[0, kb])
-                c0f = jnp.float32(c0_ref[0, kb])
+                lx = lx_ref[0, 0, kb]
+                ly = ly_ref[0, 0, kb]
+                ratio = ratio_ref[0, 0, kb]
+                r8f = jnp.float32(rb_ref[0, 0, kb] * 8)
+                c128f = jnp.float32(cb_ref[0, 0, kb] * 128)
+                # semantic window origin (the XLA path's clip), for the
+                # out-of-window observability check only
+                r0o = jnp.float32(jnp.clip(
+                    ly.astype(jnp.int32) - WIN // 2, 0, H - WIN))
+                c0o = jnp.float32(jnp.clip(
+                    lx.astype(jnp.int32) - WIN // 2, 0, W - WIN))
 
                 def cond(state):
                     (_, _, _, _, _, alive, _, _, _, it) = state
@@ -103,21 +139,23 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int):
                     a21r = u21 * ratio
                     a22r = u22 * ratio
 
-                    wx = lx + i_b * a11r + j_b * a12r
-                    wy = ly + i_b * a21r + j_b * a22r
-                    x0f = jnp.floor(wx)
+                    wy = ly + i_y * a21r + j_y * a22r
+                    wx = lx + i_x * a11r + j_x * a12r
                     y0f = jnp.floor(wy)
-                    fx = wx - x0f
+                    x0f = jnp.floor(wx)
                     fy = wy - y0f
-                    ey = iota_w - (y0f - r0f)
-                    ex = iota_w - (x0f - c0f)
+                    fx = wx - x0f
+                    ey = iota_y - (y0f - r8f)
+                    ex = iota_x - (x0f - c128f)
                     # samples outside the image produce 0 (reference
                     # semantics helpers.cpp:229-239; the flag is ignored
                     # by findAffineShape, affine.cpp:47) — mask Ex so
                     # near-border floor indices don't alias into the
                     # window through the relative one-hot
-                    valid = ((x0f >= 0) & (y0f >= 0)
-                             & (x0f < W - 1) & (y0f < H - 1))
+                    # y0f varies only with the sample index p (rows), so
+                    # its border test broadcasts as an (N, 1) column
+                    valid = ((x0f >= 0) & (x0f < W - 1)
+                             & (y0f[:, :1] >= 0) & (y0f[:, :1] < H - 1))
                     Ey = jnp.where(ey == 0, 1.0 - fy,
                                    jnp.where(ey == 1, fy, 0.0))
                     Ex = jnp.where(valid,
@@ -132,15 +170,16 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int):
                                   precision=jax.lax.Precision.HIGHEST)
 
                     # out-of-window observability (sample inside image
-                    # but outside the static window)
+                    # but outside the SEMANTIC window — matches the XLA
+                    # path; the DMA'd superset is strictly larger)
                     wxs = lx + i_s * a11r + j_s * a12r
                     wys = ly + i_s * a21r + j_s * a22r
                     xs0 = jnp.floor(wxs)
                     ys0 = jnp.floor(wys)
                     inside = ((xs0 >= 0) & (ys0 >= 0)
                               & (xs0 < W - 1) & (ys0 < H - 1))
-                    ow = ((ys0 - r0f < 0) | (ys0 - r0f > WIN - 2)
-                          | (xs0 - c0f < 0) | (xs0 - c0f > WIN - 2))
+                    ow = ((ys0 - r0o < 0) | (ys0 - r0o > WIN - 2)
+                          | (xs0 - c0o < 0) | (xs0 - c0o > WIN - 2))
                     violated = violated | (alive & jnp.any(inside & ow))
 
                     # gradients: central diffs, one-sided at edges,
@@ -187,99 +226,107 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int):
                         jnp.bool_(False), jnp.int32(0))
                 (u11, u12, u21, u22, _, _, converged, conv_iter,
                  violated, _) = jax.lax.while_loop(cond, body, init)
-                ok_ref[0, kb] = (converged & ~violated).astype(jnp.int32)
-                u11_ref[0, kb] = u11
-                u12_ref[0, kb] = u12
-                u21_ref[0, kb] = u21
-                u22_ref[0, kb] = u22
-                iters_ref[0, kb] = conv_iter
+                ok_ref[0, 0, kb] = (converged & ~violated).astype(jnp.int32)
+                u11_ref[0, 0, kb] = u11
+                u12_ref[0, 0, kb] = u12
+                u21_ref[0, 0, kb] = u21
+                u22_ref[0, 0, kb] = u22
+                iters_ref[0, 0, kb] = conv_iter
 
-            @pl.when(act_ref[0, kb] == 0)
+            @pl.when(act_ref[0, 0, kb] == 0)
             def _():
-                ok_ref[0, kb] = 0
-                u11_ref[0, kb] = 0.0
-                u12_ref[0, kb] = 0.0
-                u21_ref[0, kb] = 0.0
-                u22_ref[0, kb] = 0.0
-                iters_ref[0, kb] = 0
+                ok_ref[0, 0, kb] = 0
+                u11_ref[0, 0, kb] = 0.0
+                u12_ref[0, 0, kb] = 0.0
+                u21_ref[0, 0, kb] = 0.0
+                u22_ref[0, 0, kb] = 0.0
+                iters_ref[0, 0, kb] = 0
 
     return kernel
 
 
-@functools.partial(
-    jax.jit, static_argnames=("win", "cfg", "interpret"))
-def adapt_windows_pallas(stack: jnp.ndarray, src, r0, c0, act,
-                         lx, ly, ratio, win: int, cfg: HesaffConfig,
-                         interpret: bool = False):
-    """Run the fused adaptation kernel over K keypoints.
-
-    stack: (S, H, W) f32 blur planes (HBM-resident); src/r0/c0: (K,)
-    int32 plane index + window origin (pre-clipped into the image);
-    act: (K,) int32 (0 = padding slot); lx/ly/ratio: (K,) f32 keypoint
-    center (octave pixels) and scale ratio.  K must be a multiple of
-    the kernel block; pad with act=0 slots.
-    Returns (ok_i32, u11, u12, u21, u22, iters).
-    """
-    S, H, W = stack.shape
+def _call_kernel(stack, src, rb, cb, act, lx, ly, ratio, win, H, W,
+                 cfg: HesaffConfig, interpret: bool):
+    S, Hp, Wp = stack.shape
     K = src.shape[0]
     assert K % _KB == 0
     G = cfg.smm_window_size
     aj, bi = _grid_constants(G)
     from hesaff_tpu.ops import masks
     msk = jnp.asarray(masks.smm_gauss_mask(G))
+    WINY, WINX = aligned_window(win)
 
     kernel = _make_kernel(win, H, W, cfg, _KB)
     grid = (K // _KB,)
-    blk = lambda dt: pl.BlockSpec((1, _KB), lambda g: (g, 0),
-                                  memory_space=pltpu.SMEM)
-    out_blk = pl.BlockSpec((1, _KB), lambda g: (g, 0))
+    # scalars ride as (G, 1, KB) blocks — trailing block dims equal the
+    # array dims, the only blocked-SMEM layout Mosaic accepts
+    blk = lambda: pl.BlockSpec((1, 1, _KB), lambda g: (g, 0, 0),
+                               memory_space=pltpu.SMEM)
+    out_blk = pl.BlockSpec((1, 1, _KB), lambda g: (g, 0, 0),
+                           memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            blk(jnp.int32),   # src
-            blk(jnp.int32),   # r0
-            blk(jnp.int32),   # c0
-            blk(jnp.int32),   # act
-            blk(jnp.float32),  # lx
-            blk(jnp.float32),  # ly
-            blk(jnp.float32),  # ratio
-            pl.BlockSpec(memory_space=pltpu.ANY),    # stack (HBM)
+            blk(),   # src
+            blk(),   # rb
+            blk(),   # cb
+            blk(),   # act
+            blk(),   # lx
+            blk(),   # ly
+            blk(),   # ratio
+            pl.BlockSpec(memory_space=pltpu.HBM),    # stack
             pl.BlockSpec(memory_space=pltpu.VMEM),   # mask
             pl.BlockSpec(memory_space=pltpu.VMEM),   # aj
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bi
         ],
         out_specs=[out_blk] * 6,
         out_shape=[
-            jax.ShapeDtypeStruct((K // _KB, _KB), jnp.int32),
-            jax.ShapeDtypeStruct((K // _KB, _KB), jnp.float32),
-            jax.ShapeDtypeStruct((K // _KB, _KB), jnp.float32),
-            jax.ShapeDtypeStruct((K // _KB, _KB), jnp.float32),
-            jax.ShapeDtypeStruct((K // _KB, _KB), jnp.float32),
-            jax.ShapeDtypeStruct((K // _KB, _KB), jnp.int32),
+            jax.ShapeDtypeStruct((K // _KB, 1, _KB), jnp.int32),
+            jax.ShapeDtypeStruct((K // _KB, 1, _KB), jnp.float32),
+            jax.ShapeDtypeStruct((K // _KB, 1, _KB), jnp.float32),
+            jax.ShapeDtypeStruct((K // _KB, 1, _KB), jnp.float32),
+            jax.ShapeDtypeStruct((K // _KB, 1, _KB), jnp.float32),
+            jax.ShapeDtypeStruct((K // _KB, 1, _KB), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_KB, win, win), jnp.float32),
+            pltpu.VMEM((_KB, WINY, WINX), jnp.float32),
             pltpu.SemaphoreType.DMA((_KB,)),
         ],
         interpret=interpret,
-    )(*(a.reshape(-1, _KB) for a in (src, r0, c0, act)),
-      *(a.reshape(-1, _KB) for a in (lx, ly, ratio)),
+    )(*(a.reshape(-1, 1, _KB) for a in (src, rb, cb, act)),
+      *(a.reshape(-1, 1, _KB) for a in (lx, ly, ratio)),
       stack, msk, jnp.asarray(aj), jnp.asarray(bi))
 
 
+def pallas_window_fits(cfg: HesaffConfig, height: int, width: int) -> bool:
+    """True if the aligned DMA superset window fits the (padded) octave."""
+    from hesaff_tpu.affine_shape import unclamped_window_size
+
+    win = unclamped_window_size(cfg)
+    winy, winx = aligned_window(win)
+    return (_round_up(height, 8) >= winy
+            and _round_up(width, 128) >= winx)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pixel_distance", "cfg", "interpret"))
 def adapt_flat_pallas(blur_stacks: jnp.ndarray, img_idx, src_level,
                       x, y, s, pixel_distance: float, cfg: HesaffConfig,
                       active=None, interpret: bool = False):
     """Drop-in fused-kernel variant of affine_shape.adapt_flat.
 
-    Requires sample_window_size's unclamped window to fit the octave
-    (callers fall back to the XLA path on small octaves).
+    Requires pallas_window_fits (callers fall back to the XLA path on
+    small octaves).
     """
     from hesaff_tpu.affine_shape import AffineResult, sample_window_size
 
     B, L, H, W = blur_stacks.shape
     win = sample_window_size(cfg, H, W)
+    WINY, WINX = aligned_window(win)
+    Hp = _round_up(H, 8)
+    Wp = _round_up(W, 128)
     pd = jnp.float32(pixel_distance)
     K = x.shape[0]
     if active is None:
@@ -291,21 +338,26 @@ def adapt_flat_pallas(blur_stacks: jnp.ndarray, img_idx, src_level,
     src = (img_idx * L + src_level).astype(jnp.int32)
     r0 = jnp.clip(ly.astype(jnp.int32) - win // 2, 0, H - win)
     c0 = jnp.clip(lx.astype(jnp.int32) - win // 2, 0, W - win)
+    # aligned superset origins, in tile-block units (provable alignment)
+    rb = jnp.minimum(r0 // 8, (Hp - WINY) // 8)
+    cb = jnp.minimum(c0 // 128, (Wp - WINX) // 128)
     act = active.astype(jnp.int32)
     src = jnp.where(active, src, 0)
-    r0 = jnp.where(active, r0, 0)
-    c0 = jnp.where(active, c0, 0)
+    rb = jnp.where(active, rb, 0)
+    cb = jnp.where(active, cb, 0)
 
     pad = (-K) % _KB
     if pad:
         zi = lambda a: jnp.concatenate(
             [a, jnp.zeros((pad,), a.dtype)])
-        src, r0, c0, act = map(zi, (src, r0, c0, act))
+        src, rb, cb, act = map(zi, (src, rb, cb, act))
         lx, ly, ratio = map(zi, (lx, ly, ratio))
 
     flat = blur_stacks.reshape(B * L, H, W)
-    outs = adapt_windows_pallas(
-        flat, src, r0, c0, act, lx, ly, ratio, win, cfg,
+    if Hp != H or Wp != W:
+        flat = jnp.pad(flat, ((0, 0), (0, Hp - H), (0, Wp - W)))
+    outs = _call_kernel(
+        flat, src, rb, cb, act, lx, ly, ratio, win, H, W, cfg,
         interpret=interpret,
     )
     ok, u11, u12, u21, u22, iters = (o.reshape(-1) for o in outs)

@@ -94,6 +94,99 @@ def fits_vmem(height: int, width: int) -> bool:
     return 3 * height * width * 4 <= _VMEM_BYTES
 
 
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+def _make_tiled_kernel(taps: tuple, norm2: float, TB: int, HALO: int,
+                       H: int, W: int):
+    r = len(taps) // 2
+
+    def kernel(up_ref, mid_ref, dn_ref, blur_ref, resp_ref):
+        g = pl.program_id(0)
+        x = jnp.concatenate(
+            [up_ref[TB - HALO:, :], mid_ref[:], dn_ref[:HALO, :]], axis=0)
+        acc = None
+        for i, t in enumerate(taps):
+            term = t * _shift_rows(x, i - r)
+            acc = term if acc is None else acc + term
+        out = None
+        for i, t in enumerate(taps):
+            term = t * _shift_cols(acc, i - r)
+            out = term if out is None else out + term
+        # rows [HALO, HALO+TB) of `out` are exact: their inputs stay
+        # >= r away from the block edges the shifts replicate
+        blur_ref[:] = out[HALO:HALO + TB, :]
+
+        lxx = (_shift_cols(out, -1) - 2.0 * out + _shift_cols(out, 1))
+        lyy = (_shift_rows(out, -1) - 2.0 * out + _shift_rows(out, 1))
+        d1 = _shift_rows(_shift_cols(out, 1), -1)
+        d2 = _shift_rows(_shift_cols(out, -1), -1)
+        d3 = _shift_rows(_shift_cols(out, -1), 1)
+        d4 = _shift_rows(_shift_cols(out, 1), 1)
+        lxy = (d1 - d2 + d3 - d4) * 0.25
+        resp = ((lxx * lyy - lxy * lxy) * norm2)[HALO:HALO + TB, :]
+        # zero the GLOBAL 1-px border (interior-only contract)
+        rows = (jax.lax.broadcasted_iota(jnp.int32, (TB, resp.shape[1]), 0)
+                + g * TB)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (TB, resp.shape[1]), 1)
+        interior = ((rows > 0) & (rows < H - 1)
+                    & (cols > 0) & (cols < W - 1))
+        resp_ref[:] = jnp.where(interior, resp, 0.0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("taps", "norm2", "interpret"))
+def blur_doh_tiled(img: jnp.ndarray, taps: tuple, norm2: float,
+                   interpret: bool = False):
+    """Row-block tiled fused blur + DoH for images beyond the VMEM budget
+    (the full-resolution first octave).  Same numerics as blur_doh.
+
+    The halo rides as two extra blocked reads of the same padded array
+    (blocks g and g+2 around the center g+1) — overlapping windows are
+    inexpressible in one BlockSpec, and blocked reads keep the kernel
+    vmap-friendly (no manual DMA).  ~3x input reads, but input traffic
+    is a small slice of the fused pass's total.
+    """
+    H, W = img.shape
+    r = len(taps) // 2
+    HALO = _round_up(r + 1, 8)
+    Wp = _round_up(W, 128)
+    # block rows sized to the VMEM budget: 3 in + 2 out double-buffered
+    # blocks plus the shift-chain temporaries ≈ 16 block-sized buffers
+    # (measured: TB=256 at Wp=896 allocates 16.04 MB against the 16 MB
+    # scoped-vmem limit — budget to 12 MB)
+    TB = 256
+    while TB > 2 * HALO and 16 * (TB + 2 * HALO) * Wp * 4 > 12 * (1 << 20):
+        TB //= 2
+    NB = -(-H // TB)
+    Hp = (NB + 2) * TB
+
+    # edge-replicate pad: one full block above (its tail rows = row 0)
+    # and below; cols replicate the true right edge for the col pass
+    padded = jnp.pad(img, ((TB, Hp - TB - H), (0, Wp - W)), mode="edge")
+
+    kernel = _make_tiled_kernel(taps, norm2, TB, HALO, H, W)
+    blk = lambda off: pl.BlockSpec((TB, Wp), lambda g, o=off: (g + o, 0),
+                                   memory_space=pltpu.VMEM)
+    blur_p, resp_p = pl.pallas_call(
+        kernel,
+        grid=(NB,),
+        in_specs=[blk(0), blk(1), blk(2)],
+        out_specs=[
+            pl.BlockSpec((TB, Wp), lambda g: (g, 0)),
+            pl.BlockSpec((TB, Wp), lambda g: (g, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NB * TB, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((NB * TB, Wp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(padded, padded, padded)
+    return blur_p[:H, :W], resp_p[:H, :W]
+
+
 @functools.partial(jax.jit, static_argnames=("taps", "norm2", "interpret"))
 def blur_doh(img: jnp.ndarray, taps: tuple, norm2: float,
              interpret: bool = False):

@@ -38,16 +38,42 @@ from hesaff_tpu.config import HesaffConfig
 _HI = jax.lax.Precision.HIGHEST
 
 
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
 def group_geometry(bucket: int, height: int, width: int,
                    patch_size: int, smooth_factor: float):
-    """Static (WY, WX, KMAX, LY) for a bucket-group kernel."""
-    wy = min(height, ((int(3.5 * bucket) + 15) // 8) * 8)
-    wx = min(width, ((int(2.5 * bucket) + 15) // 8) * 8)
+    """Static (WY, WX, KMAX, LY, CY, CX) for a bucket-group kernel.
+
+    CY/CX are the coverage window sides (what the warp extent needs,
+    centered on the keypoint); WY/WX are the tile-ALIGNED DMA superset
+    sides — row origins align down to 8 and col origins to 128 (Mosaic
+    requires provably tile-aligned dynamic HBM slices), so the copied
+    window carries +8 / +128 margin, capped at the padded image dims.
+    """
+    hp = _round_up(height, 8)
+    wp = _round_up(width, 128)
+    cy = min(height, ((int(3.5 * bucket) + 15) // 8) * 8)
+    cx = min(width, ((int(2.5 * bucket) + 15) // 8) * 8)
+    wy = min(hp, cy + 8)
+    wx = min(wp, _round_up(cx, 128) + 128)
     its_max = (bucket - 2) / patch_size
     kmax = int(2.0 * 3.0 * smooth_factor * its_max + 1.0)
     kmax += 1 - (kmax % 2)
-    ly = min(wy, max(72, bucket // 2 + 16))
-    return wy, wx, kmax, ly
+    ly = min(wy, _round_up(max(72, bucket // 2 + 16), 8) + 8)
+    return wy, wx, kmax, ly, cy, cx
+
+
+def _group_kb(bucket: int) -> int:
+    """Keypoints per grid step, bounded by the 16 MB scoped VMEM
+    (window scratch KB*WY*WX*4 dominates; measured: bucket 193 at KB=4
+    allocates 16.16 MB)."""
+    if bucket <= 128:
+        return 8
+    if bucket <= 160:
+        return 4
+    return 2 if bucket <= 512 else 1
 
 
 def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
@@ -56,70 +82,71 @@ def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
     half_p = P >> 1
     r_blur = KMAX // 2
 
-    def kernel(act_ref, r0_ref, c0_ref, img_ref, ws_ref,
+    def kernel(act_ref, rb_ref, cb_ref, img_ref, ws_ref,
                x_ref, y_ref, a11_ref, a21_ref, a22_ref, its_ref, taps_ref,
                images_ref, patch_ref, bad_ref,
-               win, wsbuf, sems):
+               win, wsbuf, ysbuf, padv, blurv, padh, sems):
         def dma(kb):
             return pltpu.make_async_copy(
-                images_ref.at[img_ref[0, kb],
-                              pl.ds(r0_ref[0, kb], WY),
-                              pl.ds(c0_ref[0, kb], WX)],
+                images_ref.at[img_ref[0, 0, kb],
+                              pl.ds(rb_ref[0, 0, kb] * 8, WY),
+                              pl.ds(cb_ref[0, 0, kb] * 128, WX)],
                 win.at[kb],
                 sems.at[kb],
             )
 
         for kb in range(KB):
-            @pl.when(act_ref[0, kb] != 0)
+            @pl.when(act_ref[0, 0, kb] != 0)
             def _():
                 dma(kb).start()
 
         for kb in range(KB):
-            @pl.when(act_ref[0, kb] != 0)
+            @pl.when(act_ref[0, 0, kb] != 0)
             def _():
                 dma(kb).wait()
                 w = win[kb]
-                x = x_ref[0, kb]
-                y = y_ref[0, kb]
-                a11 = a11_ref[0, kb]
-                a21 = a21_ref[0, kb]
-                a22 = a22_ref[0, kb]
-                its = its_ref[0, kb]
-                ws = ws_ref[0, kb]                      # true workspace side
-                r0f = jnp.float32(r0_ref[0, kb])
-                c0f = jnp.float32(c0_ref[0, kb])
+                x = x_ref[0, 0, kb]
+                y = y_ref[0, 0, kb]
+                a11 = a11_ref[0, 0, kb]
+                a21 = a21_ref[0, 0, kb]
+                a22 = a22_ref[0, 0, kb]
+                its = its_ref[0, 0, kb]
+                ws = ws_ref[0, 0, kb]                      # true workspace side
+                r0f = jnp.float32(rb_ref[0, 0, kb] * 8)
+                c0f = jnp.float32(cb_ref[0, 0, kb] * 128)
                 half = jnp.float32(ws >> 1)
                 wsm1 = jnp.float32(ws - 1)
 
                 # ---- x-pass: ys = win @ ExT  (WY, bucket) ----
-                q_x = jax.lax.broadcasted_iota(jnp.float32, (WX, bucket), 1)
+                # (elementwise chains fuse in Mosaic; only slice results
+                # and ref traffic occupy stack)
+                q_x = jax.lax.broadcasted_iota(
+                    jnp.int32, (WX, bucket), 1).astype(jnp.float32)
                 eff_x = jnp.minimum(q_x, wsm1) - half
                 wxq = x + eff_x * a11
                 x0f = jnp.floor(wxq)
                 fxq = wxq - x0f
                 valid_x = (x0f >= 0) & (x0f < W - 1)
                 exq = jax.lax.broadcasted_iota(
-                    jnp.float32, (WX, bucket), 0) - (x0f - c0f)
+                    jnp.int32, (WX, bucket), 0).astype(jnp.float32) \
+                    - (x0f - c0f)
                 ExT = jnp.where(
                     valid_x,
                     jnp.where(exq == 0, 1.0 - fxq,
                               jnp.where(exq == 1, fxq, 0.0)),
                     0.0,
                 )
-                ys = jnp.dot(w, ExT, preferred_element_type=jnp.float32,
-                             precision=_HI)          # (WY, bucket)
+                ysbuf[:] = jnp.dot(
+                    w, ExT, preferred_element_type=jnp.float32,
+                    precision=_HI)                   # (WY, bucket)
                 vx_row = valid_x[0:1, :]             # (1, bucket)
 
                 # ---- y-pass: one output row per step ----
-                iota_i = jax.lax.broadcasted_iota(
-                    jnp.float32, (1, bucket), 1)
+                iota_i = jax.lax.broadcasted_iota(jnp.int32, (1, bucket), 1).astype(jnp.float32)
                 eff_i = jnp.minimum(iota_i, wsm1) - half
                 cy = y + eff_i * a21                 # (1, bucket) row bases
                 span = jnp.abs(a21) * wsm1 + 4.0
-                iota_ly = jax.lax.broadcasted_iota(
-                    jnp.float32, (LY, bucket), 0)
-                iota_wy = jax.lax.broadcasted_iota(
-                    jnp.float32, (WY, bucket), 0)
+                iota_ly = jax.lax.broadcasted_iota(jnp.int32, (LY, bucket), 0).astype(jnp.float32)
                 cmin = jnp.minimum(cy[0, 0], cy[0, bucket - 1])
 
                 def row_fast(j, bad):
@@ -128,7 +155,10 @@ def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
                     base = jnp.clip(
                         (cmin - r0f + effj * a22 - 1.0).astype(jnp.int32),
                         0, WY - LY)
-                    basef = jnp.float32(base)
+                    # quantize the band origin to 8 rows (provable VMEM
+                    # slice alignment); LY carries the +8 margin
+                    base8 = base // 8
+                    basef = jnp.float32(base8 * 8)
                     y0f = jnp.floor(wyj)
                     fy = wyj - y0f
                     valid_y = (y0f >= 0) & (y0f < H - 1)
@@ -139,29 +169,40 @@ def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
                                   jnp.where(eyj == 1, fy, 0.0)),
                         0.0,
                     )
-                    band = jax.lax.dynamic_slice(
-                        ys, (base, 0), (LY, bucket))
+                    band = ysbuf[pl.ds(base8 * 8, LY), :]
                     wsbuf[j, :] = jnp.sum(Ey * band, axis=0)
                     return bad | jnp.any(~(valid_y & vx_row))
 
                 def row_full(j, bad):
+                    # shear fallback: accumulate 128-row bands through a
+                    # scratch row (blurv is free until the blur stage) —
+                    # full-(WY, bucket) Ey slabs blow the VMEM stack at
+                    # large buckets
                     effj = jnp.minimum(jnp.float32(j), wsm1) - half
                     wyj = cy + effj * a22
                     y0f = jnp.floor(wyj)
                     fy = wyj - y0f
                     valid_y = (y0f >= 0) & (y0f < H - 1)
-                    eyj = iota_wy - (y0f - r0f)
-                    Ey = jnp.where(
-                        valid_y,
-                        jnp.where(eyj == 0, 1.0 - fy,
-                                  jnp.where(eyj == 1, fy, 0.0)),
-                        0.0,
-                    )
-                    wsbuf[j, :] = jnp.sum(Ey * ys, axis=0)
+                    blurv[0:1, :] = jnp.zeros((1, bucket), jnp.float32)
+                    for b0 in range(0, WY, 128):
+                        n = min(128, WY - b0)
+                        eyb = (jax.lax.broadcasted_iota(
+                            jnp.int32, (n, bucket), 0)
+                            .astype(jnp.float32) + b0) - (y0f - r0f)
+                        Eyb = jnp.where(
+                            valid_y,
+                            jnp.where(eyb == 0, 1.0 - fy,
+                                      jnp.where(eyb == 1, fy, 0.0)),
+                            0.0,
+                        )
+                        blurv[0:1, :] += jnp.sum(
+                            Eyb * ysbuf[b0:b0 + n, :], axis=0,
+                            keepdims=True)
+                    wsbuf[j, :] = blurv[0, :]
                     return bad | jnp.any(~(valid_y & vx_row))
 
                 bad = jax.lax.cond(
-                    span <= LY - 2,
+                    span <= LY - 10,
                     lambda: jax.lax.fori_loop(
                         0, bucket, row_fast, jnp.bool_(False)),
                     lambda: jax.lax.fori_loop(
@@ -169,44 +210,43 @@ def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
                 )
 
                 # ---- separable blur (edge replicate; _blur_one) ----
-                wsp = wsbuf[:]
-                pad_t = jnp.broadcast_to(wsp[0:1, :], (r_blur, bucket))
-                pad_b = jnp.broadcast_to(wsp[bucket - 1:bucket, :],
-                                         (r_blur, bucket))
-                pcol = jnp.concatenate([pad_t, wsp, pad_b], axis=0)
-                acc = None
-                for t in range(KMAX):
-                    term = taps_ref[0, kb, t] * jax.lax.slice_in_dim(
-                        pcol, t, t + bucket, axis=0)
-                    acc = term if acc is None else acc + term
-                pad_l = jnp.broadcast_to(acc[:, 0:1], (bucket, r_blur))
-                pad_r = jnp.broadcast_to(acc[:, bucket - 1:bucket],
-                                         (bucket, r_blur))
-                prow = jnp.concatenate([pad_l, acc, pad_r], axis=1)
-                acc2 = None
-                for t in range(KMAX):
-                    term = taps_ref[0, kb, t] * jax.lax.slice_in_dim(
-                        prow, t, t + bucket, axis=1)
-                    acc2 = term if acc2 is None else acc2 + term
+                # accumulate through scratch refs with STATIC-offset
+                # slices: an unrolled KMAX-term value chain makes Mosaic
+                # materialize every term (64 MB stack at bucket 385);
+                # read-modify-write through a ref bounds the live set to
+                # one slice + the accumulator
+                padv[0:r_blur, :] = jnp.broadcast_to(
+                    wsbuf[0:1, :], (r_blur, bucket))
+                padv[r_blur:r_blur + bucket, :] = wsbuf[:]
+                padv[r_blur + bucket:, :] = jnp.broadcast_to(
+                    wsbuf[bucket - 1:bucket, :], (r_blur, bucket))
+                blurv[:] = taps_ref[0, kb, 0] * padv[0:bucket, :]
+                for t in range(1, KMAX):
+                    blurv[:] += taps_ref[0, kb, t] * padv[t:t + bucket, :]
+                padh[:, 0:r_blur] = jnp.broadcast_to(
+                    blurv[:, 0:1], (bucket, r_blur))
+                padh[:, r_blur:r_blur + bucket] = blurv[:]
+                padh[:, r_blur + bucket:] = jnp.broadcast_to(
+                    blurv[:, bucket - 1:bucket], (bucket, r_blur))
+                wsbuf[:] = taps_ref[0, kb, 0] * padh[:, 0:bucket]
+                for t in range(1, KMAX):
+                    wsbuf[:] += taps_ref[0, kb, t] * padh[:, t:t + bucket]
+                acc2 = wsbuf[:]
 
                 # ---- subsample: patch = S @ blurred @ ST ----
                 ofs = jnp.float32(ws >> 1)
-                k_s = jax.lax.broadcasted_iota(
-                    jnp.float32, (P, bucket), 0) - half_p
+                k_s = jax.lax.broadcasted_iota(jnp.int32, (P, bucket), 0).astype(jnp.float32) - half_p
                 pos = ofs + k_s * its
                 p0 = jnp.floor(pos)
                 fs = pos - p0
-                ds = jax.lax.broadcasted_iota(
-                    jnp.float32, (P, bucket), 1) - p0
+                ds = jax.lax.broadcasted_iota(jnp.int32, (P, bucket), 1).astype(jnp.float32) - p0
                 S = jnp.where(ds == 0, 1.0 - fs,
                               jnp.where(ds == 1, fs, 0.0))
-                k_t = jax.lax.broadcasted_iota(
-                    jnp.float32, (bucket, P), 1) - half_p
+                k_t = jax.lax.broadcasted_iota(jnp.int32, (bucket, P), 1).astype(jnp.float32) - half_p
                 pos_t = ofs + k_t * its
                 p0t = jnp.floor(pos_t)
                 fst = pos_t - p0t
-                dst = jax.lax.broadcasted_iota(
-                    jnp.float32, (bucket, P), 0) - p0t
+                dst = jax.lax.broadcasted_iota(jnp.int32, (bucket, P), 0).astype(jnp.float32) - p0t
                 ST = jnp.where(dst == 0, 1.0 - fst,
                                jnp.where(dst == 1, fst, 0.0))
                 tpatch = jnp.dot(S, acc2, preferred_element_type=jnp.float32,
@@ -214,40 +254,48 @@ def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
                 patch_ref[kb] = jnp.dot(
                     tpatch, ST, preferred_element_type=jnp.float32,
                     precision=_HI)
-                bad_ref[0, kb] = bad.astype(jnp.int32)
+                bad_ref[0, 0, kb] = bad.astype(jnp.int32)
 
-            @pl.when(act_ref[0, kb] == 0)
+            @pl.when(act_ref[0, 0, kb] == 0)
             def _():
                 patch_ref[kb] = jnp.zeros((P, P), jnp.float32)
-                bad_ref[0, kb] = 1
+                bad_ref[0, 0, kb] = 1
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("bucket", "cfg", "interpret"))
-def patches_pallas(images: jnp.ndarray, bucket: int, act, img_idx, r0, c0,
+def patches_pallas(images: jnp.ndarray, bucket: int, act, img_idx, rb, cb,
                    ws, x, y, a11, a21, a22, its, taps, cfg: HesaffConfig,
                    interpret: bool = False):
     """Fused patch pipeline over K keypoints of one bucket group.
 
-    images: (B, H, W) f32 (HBM); act/img_idx/r0/c0/ws: (K,) int32
-    (origins pre-clipped; padding slots sanitized); x/y/a11/a21/a22/its:
+    images: (B, H, W) f32 (HBM; padded in-graph to (8,128) tiles);
+    act/img_idx/ws: (K,) int32; rb/cb: (K,) int32 aligned window origins
+    in (8-row, 128-col) block units (padding slots sanitized);
+    x/y/a11/a21/a22/its:
     (K,) f32; taps: (K, KMAX) f32 per-keypoint normalized blur taps.
     K must be a multiple of the block.  Returns (patches (K, P, P),
     bad (K,) int32 — boundary-touched or padding).
     """
     B, H, W = images.shape
     K = act.shape[0]
-    KB = 8 if bucket <= 128 else (4 if bucket <= 384 else 2)
+    KB = _group_kb(bucket)
     assert K % KB == 0
-    WY, WX, KMAX, LY = group_geometry(
+    WY, WX, KMAX, LY, _, _ = group_geometry(
         bucket, H, W, cfg.patch_size, cfg.patch_smooth_factor)
     assert taps.shape[1] == KMAX
     P = cfg.patch_size
+    Hp = _round_up(H, 8)
+    Wp = _round_up(W, 128)
+    if Hp != H or Wp != W:
+        images = jnp.pad(images, ((0, 0), (0, Hp - H), (0, Wp - W)))
 
     kernel = _make_kernel(bucket, WY, WX, KMAX, LY, H, W, cfg, KB)
     grid = (K // KB,)
-    sblk = lambda: pl.BlockSpec((1, KB), lambda g: (g, 0),
+    # scalars ride as (G, 1, KB) blocks — trailing block dims equal the
+    # array dims, the only blocked-SMEM layout Mosaic accepts
+    sblk = lambda: pl.BlockSpec((1, 1, KB), lambda g: (g, 0, 0),
                                 memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kernel,
@@ -266,24 +314,29 @@ def patches_pallas(images: jnp.ndarray, bucket: int, act, img_idx, r0, c0,
             sblk(),  # its
             pl.BlockSpec((1, KB, KMAX), lambda g: (g, 0, 0),
                          memory_space=pltpu.SMEM),  # taps
-            pl.BlockSpec(memory_space=pl.ANY),      # images (HBM)
+            pl.BlockSpec(memory_space=pltpu.HBM),   # images
         ],
         out_specs=[
             pl.BlockSpec((KB, P, P), lambda g: (g, 0, 0)),
-            pl.BlockSpec((1, KB), lambda g: (g, 0)),
+            pl.BlockSpec((1, 1, KB), lambda g: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((K, P, P), jnp.float32),
-            jax.ShapeDtypeStruct((K // KB, KB), jnp.int32),
+            jax.ShapeDtypeStruct((K // KB, 1, KB), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((KB, WY, WX), jnp.float32),
             pltpu.VMEM((bucket, bucket), jnp.float32),
+            pltpu.VMEM((WY, bucket), jnp.float32),
+            pltpu.VMEM((bucket + KMAX - 1, bucket), jnp.float32),
+            pltpu.VMEM((bucket, bucket), jnp.float32),
+            pltpu.VMEM((bucket, bucket + KMAX - 1), jnp.float32),
             pltpu.SemaphoreType.DMA((KB,)),
         ],
         interpret=interpret,
-    )(*(a.reshape(-1, KB) for a in (act, r0, c0, img_idx, ws)),
-      *(a.reshape(-1, KB) for a in (x, y, a11, a21, a22, its)),
+    )(*(a.reshape(-1, 1, KB) for a in (act, rb, cb, img_idx, ws)),
+      *(a.reshape(-1, 1, KB) for a in (x, y, a11, a21, a22, its)),
       taps.reshape(-1, KB, taps.shape[1]), images)
 
 
@@ -302,8 +355,10 @@ def extract_group_pallas(images: jnp.ndarray, bucket: int, img_idx,
     B, H, W = images.shape
     P = cfg.patch_size
     K = x.shape[0]
-    WY, WX, KMAX, _ = group_geometry(
+    WY, WX, KMAX, _, CY, CX = group_geometry(
         bucket, H, W, P, cfg.patch_smooth_factor)
+    Hp = _round_up(H, 8)
+    Wp = _round_up(W, 128)
 
     mr_scale = jnp.ceil(s * cfg.mr_size)
     S = 2 * mr_scale.astype(jnp.int32) + 1
@@ -324,25 +379,29 @@ def extract_group_pallas(images: jnp.ndarray, bucket: int, img_idx,
         lambda sg, kz: _device_gauss_taps(sg, kz, KMAX)
     )(sigma, ksz)
 
-    r0 = jnp.clip(y.astype(jnp.int32) - WY // 2, 0, H - WY)
-    c0 = jnp.clip(x.astype(jnp.int32) - WX // 2, 0, W - WX)
+    # coverage origin per the validated CY/CX centering, then aligned
+    # down to the (8, 128) tile for the DMA (margins in WY/WX cover it)
+    r0 = jnp.clip(y.astype(jnp.int32) - CY // 2, 0, max(H - CY, 0))
+    c0 = jnp.clip(x.astype(jnp.int32) - CX // 2, 0, max(W - CX, 0))
+    rb = jnp.minimum(r0 // 8, (Hp - WY) // 8)
+    cb = jnp.minimum(c0 // 128, (Wp - WX) // 128)
     act = active.astype(jnp.int32)
     img = jnp.where(active, img_idx, 0)
-    r0 = jnp.where(active, r0, 0)
-    c0 = jnp.where(active, c0, 0)
+    rb = jnp.where(active, rb, 0)
+    cb = jnp.where(active, cb, 0)
     ws_s = jnp.where(active, ws, 3)
 
-    KB = 8 if bucket <= 128 else (4 if bucket <= 384 else 2)
+    KB = _group_kb(bucket)
     pad = (-K) % KB
     if pad:
         padded = lambda a: jnp.concatenate(
             [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
-        act, img, r0, c0, ws_s = map(padded, (act, img, r0, c0, ws_s))
+        act, img, rb, cb, ws_s = map(padded, (act, img, rb, cb, ws_s))
         x, y, a11, a21, a22, its = map(padded, (x, y, a11, a21, a22, its))
         taps = padded(taps)
 
     patches, bad = patches_pallas(
-        images, bucket, act, img, r0, c0, ws_s, x, y, a11, a21, a22,
+        images, bucket, act, img, rb, cb, ws_s, x, y, a11, a21, a22,
         its, taps, cfg, interpret=interpret,
     )
     bad = bad.reshape(-1)

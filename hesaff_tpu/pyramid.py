@@ -69,11 +69,8 @@ def build_octave(first_level: jnp.ndarray, pixel_distance: float,
     sigmas = level_sigmas(cfg)
     step = cfg.sigma_step
     H, W = first_level.shape[-2], first_level.shape[-1]
-    use_pallas = (
-        cfg.use_pallas
-        and jax.default_backend() == "tpu"
-        and pallas_blur.fits_vmem(H, W)
-    )
+    use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
+    whole = pallas_blur.fits_vmem(H, W)
 
     blurs = [first_level]
     resps = [hessian_response(first_level, sigmas[0] ** 2)]
@@ -81,7 +78,9 @@ def build_octave(first_level: jnp.ndarray, pixel_distance: float,
         inc = sigmas[i] * math.sqrt(step * step - 1.0)
         taps = gaussian_taps(inc)
         if use_pallas:
-            b, r = pallas_blur.blur_doh(
+            fused = (pallas_blur.blur_doh if whole
+                     else pallas_blur.blur_doh_tiled)
+            b, r = fused(
                 blurs[-1], tuple(float(t) for t in taps),
                 float(sigmas[i + 1] ** 4),
             )

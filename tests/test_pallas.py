@@ -1,5 +1,7 @@
 """Pallas kernel parity tests (interpret mode on CPU)."""
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -24,7 +26,32 @@ def test_blur_doh_matches_xla():
 
 def test_fits_vmem():
     assert fits_vmem(320, 400)
-    assert not fits_vmem(640, 800)  # full-res first octave -> XLA path
+    assert not fits_vmem(640, 800)  # full-res first octave -> tiled kernel
+
+
+def test_blur_doh_tiled_matches_xla():
+    """Row-block tiled variant (for beyond-VMEM first octaves) matches
+    the XLA path at a size spanning several blocks, with an odd width
+    exercising the lane padding and a sigma at the ladder's largest."""
+    from hesaff_tpu.ops.pallas_blur import blur_doh_tiled
+
+    rng = np.random.RandomState(1)
+    img = jnp.asarray(rng.rand(611, 470).astype(np.float32) * 200)
+    taps = tuple(float(t) for t in gaussian_taps(2.46))   # ladder max inc
+    sigma_next = 3.2
+    blur, resp = blur_doh_tiled(img, taps, float(sigma_next**4),
+                                interpret=True)
+    ref_blur = gaussian_blur_traced(img, jnp.asarray(taps))
+    ref_resp = hessian_response(ref_blur, sigma_next**2)
+    assert blur.shape == img.shape and resp.shape == img.shape
+    np.testing.assert_allclose(np.asarray(blur), np.asarray(ref_blur),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(resp), np.asarray(ref_resp),
+                               atol=0.1)
+    # border contract: response zero on the 1-px frame
+    r = np.asarray(resp)
+    assert np.all(r[0] == 0) and np.all(r[-1] == 0)
+    assert np.all(r[:, 0] == 0) and np.all(r[:, -1] == 0)
 
 
 def _smooth_stacks(rng, B, L, H, W):
@@ -36,9 +63,11 @@ def _smooth_stacks(rng, B, L, H, W):
 
 
 def test_pallas_affine_matches_xla():
-    """Fused affine-adaptation kernel (interpret) is bit-identical to the
-    XLA path — including image-border zeroing, early exit, convergence
-    iteration counts, and padding-slot handling."""
+    """Fused affine-adaptation kernel (interpret) matches the XLA path —
+    including image-border zeroing, early exit, convergence iteration
+    counts, and padding-slot handling.  U components agree to 1 ULP (the
+    tile-aligned one-hot operands are wider than the XLA path's, so the
+    f32 zero-padded sums associate differently)."""
     from hesaff_tpu.affine_shape import adapt_flat
     from hesaff_tpu.config import HesaffConfig
     from hesaff_tpu.ops.pallas_affine import adapt_flat_pallas
@@ -64,7 +93,102 @@ def test_pallas_affine_matches_xla():
     np.testing.assert_array_equal(ro, po)
     m = ro & po
     for f in ("u11", "u12", "u21", "u22"):
-        np.testing.assert_array_equal(np.asarray(getattr(ref, f))[m],
-                                      np.asarray(getattr(out, f))[m])
+        np.testing.assert_allclose(np.asarray(getattr(ref, f))[m],
+                                   np.asarray(getattr(out, f))[m],
+                                   rtol=1e-6, atol=5e-7)
     np.testing.assert_array_equal(np.asarray(ref.iters)[m],
                                   np.asarray(out.iters)[m])
+
+
+def test_pallas_patches_match_bucket_path():
+    """Fused patch kernel (interpret) matches extract_bucket_batch across
+    bucket sizes, shear-fallback, and boundary flags."""
+    import jax
+
+    from hesaff_tpu.config import HesaffConfig
+    from hesaff_tpu.ops.pallas_patches import extract_group_pallas
+    from hesaff_tpu.patches import extract_bucket_batch, patch_image_size
+
+    cfg = HesaffConfig()
+    rng = np.random.default_rng(3)
+    B, H, W = 2, 240, 320
+    img = _smooth_stacks(rng, 1, B, H, W)[0]
+    images = jnp.asarray(img)
+
+    for bucket, smin, smax, shear in ((49, 1.6, 4.2, 0.35),
+                                      (97, 4.5, 8.8, 1.9)):
+        K = 24
+        img_idx = jnp.asarray(rng.integers(0, B, K), jnp.int32)
+        x = jnp.asarray(rng.uniform(40, W - 40, K), jnp.float32)
+        y = jnp.asarray(rng.uniform(40, H - 40, K), jnp.float32)
+        s = jnp.asarray(rng.uniform(smin, smax, K), jnp.float32)
+        a21 = jnp.asarray(rng.normal(0, shear, K), jnp.float32)
+        d = jnp.asarray(np.exp(rng.normal(0, 0.25, K)), jnp.float32)
+        a11 = d
+        a22 = 1.0 / d
+        active = jnp.asarray(rng.uniform(size=K) > 0.2)
+        assert (patch_image_size(np.asarray(s), cfg.mr_size) + 2).max() <= bucket
+
+        pk_ref, ok_ref = extract_bucket_batch(
+            images, bucket, img_idx, x, y, s, a11, jnp.zeros(K), a21, a22,
+            cfg, active=active)
+        pk, ok = extract_group_pallas(
+            images, bucket, img_idx, x, y, s, a11, a21, a22, cfg,
+            active=active, interpret=True)
+        ro = np.asarray(ok_ref) & np.asarray(active)
+        po = np.asarray(ok)
+        np.testing.assert_array_equal(ro, po)
+        m = ro & po
+        if m.any():
+            np.testing.assert_allclose(np.asarray(pk_ref)[m],
+                                       np.asarray(pk)[m], atol=1e-3)
+
+
+def test_grouped_extraction_matches_staged():
+    """extraction_step_grouped (fused Pallas phase B, interpret) produces
+    the same keypoints and descriptors as the per-bucket staged path."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "golden"))
+    import gen_images
+
+    from hesaff_tpu.config import HesaffConfig
+    from hesaff_tpu.dist import (
+        default_bucket_spec,
+        default_group_spec,
+        extraction_step_grouped,
+        extraction_step_staged,
+    )
+
+    cfg = HesaffConfig()
+    B, H, W = 2, 160, 128
+    imgs = np.stack([
+        gen_images.synth_image(W, H, seed=s).astype(np.float32).mean(-1)
+        for s in range(B)
+    ])
+    images = jnp.asarray(imgs)
+    buckets = default_bucket_spec(H, W, cfg, per_image_cap=512, batch=B)
+    groups = default_group_spec(H, W, cfg, per_image_cap=512, batch=B)
+    ref = extraction_step_staged(images, cfg, buckets)
+    out = extraction_step_grouped(images, cfg, groups, interpret=True)
+    rv = np.asarray(ref.valid)
+    ov = np.asarray(out.valid)
+    assert rv.sum() == ov.sum()
+    assert int(ref.overflow) == int(out.overflow) == 0
+
+    def keyed(d, v):
+        return {
+            (round(float(a), 3), round(float(b), 3), round(float(c), 3)): i
+            for i, (a, b, c) in enumerate(
+                zip(np.asarray(d.x)[v], np.asarray(d.y)[v],
+                    np.asarray(d.s)[v]))
+        }
+
+    rk = keyed(ref, rv)
+    gk = keyed(out, ov)
+    assert set(rk) == set(gk)
+    rd = np.asarray(ref.desc)[rv].astype(int)
+    od = np.asarray(out.desc)[ov].astype(int)
+    for key in rk:
+        assert np.abs(rd[rk[key]] - od[gk[key]]).max() <= 1
