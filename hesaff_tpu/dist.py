@@ -214,7 +214,9 @@ def default_group_spec(height: int, width: int,
     limit = min(height, width) + 2
     total = per_image_cap * batch
     sizes = (49, 97, 193, 385, 641, 1025)
-    fracs = (1.0, 0.5, 0.125, 0.0625, 0.0156, 0.008)
+    # measured batch-16 800x640 dense-synthetic occupancy:
+    # 18228/8601/2101/643/92/4 of 29669 -> fractions + ~20% headroom
+    fracs = (1.5, 0.7, 0.17, 0.055, 0.009, 0.002)
     spec = []
     for bsize, frac in zip(sizes, fracs):
         cap = max(32, int(total * frac))

@@ -34,6 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from hesaff_tpu.config import HesaffConfig
+from hesaff_tpu.ops.pallas_util import dot_bf16x3
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -136,9 +137,7 @@ def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
                               jnp.where(exq == 1, fxq, 0.0)),
                     0.0,
                 )
-                ysbuf[:] = jnp.dot(
-                    w, ExT, preferred_element_type=jnp.float32,
-                    precision=_HI)                   # (WY, bucket)
+                ysbuf[:] = dot_bf16x3(w, ExT)    # (WY, bucket)
                 vx_row = valid_x[0:1, :]             # (1, bucket)
 
                 # ---- y-pass: one output row per step ----

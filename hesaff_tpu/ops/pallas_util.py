@@ -1,0 +1,29 @@
+"""Shared Pallas kernel helpers."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def dot_bf16x3(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """f32 matmul via three bf16 passes (the bf16x3 "HIGH" scheme).
+
+    Mosaic only lowers DEFAULT (one bf16 pass — too coarse for sampled
+    gradients, which difference nearby values) and HIGHEST (six passes)
+    inside kernels; splitting each operand into bf16 hi + residual lo
+    and summing ah@bh + ah@bl + al@bh reproduces XLA's HIGH at half
+    HIGHEST's MXU passes.  Error ~2^-16 relative — validated round 1 on
+    chip (oracle U within 0.02, desc L1 < 0.01).
+    """
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(p, q):
+        return jax.lax.dot_general(
+            p, q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    return d(ah, bh) + d(ah, bl) + d(al, bh)

@@ -65,9 +65,9 @@ def _smooth_stacks(rng, B, L, H, W):
 def test_pallas_affine_matches_xla():
     """Fused affine-adaptation kernel (interpret) matches the XLA path —
     including image-border zeroing, early exit, convergence iteration
-    counts, and padding-slot handling.  U components agree to 1 ULP (the
-    tile-aligned one-hot operands are wider than the XLA path's, so the
-    f32 zero-padded sums associate differently)."""
+    counts, and padding-slot handling.  U components agree to ~2e-5
+    (the kernel samples via bf16x3 matmuls — near-f32; the oracle gate
+    for U is 0.02, test_affine)."""
     from hesaff_tpu.affine_shape import adapt_flat
     from hesaff_tpu.config import HesaffConfig
     from hesaff_tpu.ops.pallas_affine import adapt_flat_pallas
@@ -95,7 +95,7 @@ def test_pallas_affine_matches_xla():
     for f in ("u11", "u12", "u21", "u22"):
         np.testing.assert_allclose(np.asarray(getattr(ref, f))[m],
                                    np.asarray(getattr(out, f))[m],
-                                   rtol=1e-6, atol=5e-7)
+                                   rtol=1e-4, atol=5e-5)
     np.testing.assert_array_equal(np.asarray(ref.iters)[m],
                                   np.asarray(out.iters)[m])
 
