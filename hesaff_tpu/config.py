@@ -52,6 +52,13 @@ class HesaffConfig:
     # fused Pallas blur+DoH kernel for the pyramid ladder (TPU only;
     # falls back to the XLA path on other backends / oversized images)
     use_pallas: bool = True
+    # warp LARGE patches (workspace > the Pallas group limit) from a
+    # downsampled sigma0-blurred pyramid level with a blur-composition-
+    # corrected anti-alias sigma, instead of the full-resolution image
+    # (SURVEY.md §7 hard-part 1 option (b)).  Numerically equivalent up
+    # to resampling (validated vs the full-res path in tests); OFF
+    # reproduces the reference pipeline literally via the XLA path.
+    tail_from_pyramid: bool = True
     # per-octave capacity of the post-dedup compacted keypoint set that
     # the (expensive) affine stage runs on — levels share this budget
     affine_cap_min: int = 128

@@ -280,6 +280,42 @@ def _group_select_stage(images, flat, cfg: HesaffConfig, bsize: int,
     return pk, pok, gi, a, valid, over
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "octave"))
+def _scaled_level_stage(images, cfg: HesaffConfig, octave: int):
+    """First level of pyramid octave `octave` for the batch (tail source)."""
+    from hesaff_tpu.pyramid import scaled_first_level
+
+    return scaled_first_level(images, cfg, octave)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "bsize", "bcap", "prev", "ncap",
+                                    "ps", "bucket_src", "orig_hw",
+                                    "interpret"))
+def _tail_select_stage(images_src, flat, cfg: HesaffConfig, bsize: int,
+                       bcap: int, prev: int, ncap: int, ps: float,
+                       bucket_src: int, orig_hw, interpret: bool = False):
+    """Tail group: select ws in (prev, bsize] and extract patches from a
+    downsampled pyramid level via the scaled Pallas kernel."""
+    from hesaff_tpu.ops.pallas_patches import extract_group_pallas_scaled
+
+    ok = flat["ok"]
+    mr_scale = jnp.ceil(flat["s"] * cfg.mr_size)
+    ws = 2 * mr_scale.astype(jnp.int32) + 3
+    m = ok & (ws > prev) & (ws <= bsize)
+    idx, valid, over = compact_indices(m, bcap)
+    gi = (idx // ncap).astype(jnp.int32)
+    a = {k: flat[k][idx] for k in
+         ("x", "y", "s", "a11", "a12", "a21", "a22", "response")}
+    a["type"] = flat["type"][idx].astype(jnp.int32)
+    pk, pok = extract_group_pallas_scaled(
+        images_src, ps, bucket_src, gi, a["x"], a["y"], a["s"],
+        a["a11"], a["a21"], a["a22"], cfg, active=valid,
+        orig_hw=orig_hw, interpret=interpret,
+    )
+    return pk, pok, gi, a, valid, over
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "dcap", "ncap"))
 def _direct_branch_stage(images, flat, cfg: HesaffConfig, dcap: int,
@@ -351,6 +387,9 @@ def extraction_step_grouped(images, cfg: HesaffConfig,
     pieces = []
     overflow = flat["overflow"]
     prev = 0
+    base_pd = 0.5 if cfg.upscale_input else 1.0
+    levels = {}
+    Ho, Wo = images.shape[-2], images.shape[-1]
     for bsize, bcap in groups:
         if bsize <= _PALLAS_GROUP_MAX:
             # fused Pallas patch kernel (window resident in VMEM)
@@ -358,9 +397,25 @@ def extraction_step_grouped(images, cfg: HesaffConfig,
                 images, flat, cfg, bsize, bcap, prev, ncap, mixed,
                 interpret=interpret)
             pieces.append((pk, pok, gi, a, valid))
+        elif cfg.tail_from_pyramid:
+            # large patches warp from a downsampled sigma0-blurred
+            # pyramid level: the source workspace shrinks by ps, so the
+            # fused kernel applies (and the work drops ~ps^2)
+            ps = 2.0
+            # max source workspace of this group: 2*ceil((bsize-2)/2ps)+3
+            while 2 * ((bsize - 2 + 2 * ps - 1) // (2 * ps)) + 3 \
+                    > _PALLAS_GROUP_MAX:
+                ps *= 2.0
+            octave = int(round(np.log2(ps / base_pd)))
+            if octave not in levels:
+                levels[octave] = _scaled_level_stage(images, cfg, octave)
+            bucket_src = int(2 * -(-(bsize - 2) // (2 * ps)) + 3)
+            pk, pok, gi, a, valid, over = _tail_select_stage(
+                levels[octave], flat, cfg, bsize, bcap, prev, ncap,
+                ps, bucket_src, (Ho, Wo), interpret=interpret)
+            pieces.append((pk, pok, gi, a, valid))
         else:
-            # largest buckets: full-image windows blow the 16 MB scoped
-            # VMEM; their few keypoints take the XLA bucket path
+            # reference-literal path: full-resolution XLA bucket stage
             pk, pok, gi, sel, over = _bucket_select_stage(
                 images, flat, cfg, bsize, bcap, prev, ncap)
             pieces.append((pk, pok, gi, sel, None))

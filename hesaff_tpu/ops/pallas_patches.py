@@ -407,3 +407,96 @@ def extract_group_pallas(images: jnp.ndarray, bucket: int, img_idx,
     sl = slice(0, K)
     ok = active & ~corner_bad & (bad[sl] == 0)
     return patches[sl], ok
+
+
+def extract_group_pallas_scaled(images_src: jnp.ndarray, ps: float,
+                                bucket: int, img_idx, x, y, s,
+                                a11, a21, a22, cfg: HesaffConfig,
+                                active, orig_hw, interpret: bool = False):
+    """Patch pipeline for LARGE patches from a downsampled pyramid level.
+
+    images_src: (B, H/ps, W/ps) first level of pyramid octave
+    log2(ps·[2 if upscale]) — sigma0-blurred in its own pixels;
+    ps: source pixel distance (original px per source px, power of 2).
+
+    Mirrors the reference pipeline (affine.cpp:102-144) in source
+    coordinates: the det-1 warp shrinks by ps, the subsample step is
+    its/ps, and the anti-alias sigma subtracts the blur the level
+    already carries: sigma_add = sqrt((f·its/ps)² − sigma0²) — the
+    Gaussian-composition identity (SURVEY.md §7 hard-part 1 option (b);
+    valid when f·its > ps·sigma0, i.e. workspaces > ~2.2·ps·sigma0·P/f).
+    The boundary pre-check stays in ORIGINAL coordinates/dims so
+    acceptance matches the full-resolution path.
+
+    Returns (patches (K, P, P), ok (K,)).
+    """
+    from hesaff_tpu.ops.warp import check_borders
+    from hesaff_tpu.patches import _device_gauss_taps
+
+    B, Hs, Ws = images_src.shape
+    Ho, Wo = orig_hw
+    P = cfg.patch_size
+    K = x.shape[0]
+    WY, WX, KMAX, _, CY, CX = group_geometry(
+        bucket, Hs, Ws, P, cfg.patch_smooth_factor)
+
+    mr_scale = jnp.ceil(s * cfg.mr_size)
+    S = 2 * mr_scale.astype(jnp.int32) + 1         # original-res extent
+    its = S.astype(jnp.float32) / P                # original-res step
+    its_src = its / ps
+    # odd source workspace covering S/ps plus the +2 bilinear margin
+    ws_src = 2 * jnp.ceil(S.astype(jnp.float32) / (2.0 * ps)) \
+        .astype(jnp.int32) + 3
+
+    # acceptance in ORIGINAL coordinates (affine.cpp:112 semantics)
+    corner_bad = jax.vmap(
+        lambda itss, b11, b21, b22, xx, yy: check_borders(
+            Ho, Wo, P, P, xx, yy,
+            b11 * itss, 0.0, b21 * itss, b22 * itss,
+        )
+    )(its, a11, a21, a22, x, y)
+
+    sigma0 = cfg.initial_sigma
+    var = jnp.maximum(
+        (cfg.patch_smooth_factor * its_src) ** 2 - sigma0 * sigma0,
+        1e-4,
+    )
+    sigma = jnp.sqrt(var)
+    ksz = (2.0 * 3.0 * sigma + 1.0).astype(jnp.int32)
+    ksz = ksz + 1 - (ksz % 2)
+    taps = jax.vmap(
+        lambda sg, kz: _device_gauss_taps(sg, kz, KMAX)
+    )(sigma, ksz)
+
+    xs = x / ps
+    ys = y / ps
+    # coverage origin (clip(center - CY/2)) at source resolution, then
+    # tile-aligned for the DMA — same scheme as extract_group_pallas
+    r0 = jnp.clip(ys.astype(jnp.int32) - CY // 2, 0, max(Hs - CY, 0))
+    c0 = jnp.clip(xs.astype(jnp.int32) - CX // 2, 0, max(Ws - CX, 0))
+    rb = jnp.minimum(r0 // 8, (_round_up(Hs, 8) - WY) // 8)
+    cb = jnp.minimum(c0 // 128, (_round_up(Ws, 128) - WX) // 128)
+    act = active.astype(jnp.int32)
+    img = jnp.where(active, img_idx, 0)
+    rb = jnp.where(active, rb, 0)
+    cb = jnp.where(active, cb, 0)
+    ws_s = jnp.where(active, ws_src, 3)
+
+    KB = _group_kb(bucket)
+    pad = (-K) % KB
+    if pad:
+        padded = lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+        act, img, rb, cb, ws_s = map(padded, (act, img, rb, cb, ws_s))
+        xs, ys, a11, a21, a22 = map(padded, (xs, ys, a11, a21, a22))
+        its_src = padded(its_src)
+        taps = padded(taps)
+
+    patches, bad = patches_pallas(
+        images_src, bucket, act, img, rb, cb, ws_s, xs, ys,
+        a11, a21, a22, its_src, taps, cfg, interpret=interpret,
+    )
+    bad = bad.reshape(-1)
+    sl = slice(0, K)
+    ok = active & ~corner_bad & (bad[sl] == 0)
+    return patches[sl], ok

@@ -55,6 +55,29 @@ def prepare_first_level(image: jnp.ndarray, cfg: HesaffConfig):
     return first, pd
 
 
+def scaled_first_level(images: jnp.ndarray, cfg: HesaffConfig,
+                       octave: int) -> jnp.ndarray:
+    """First level of pyramid octave `octave` for a batch (..., H, W).
+
+    Rebuilds the blur ladder seed chain (pyramid.cpp:251-253, 284-291)
+    without DoH responses — used by the phase-B tail to warp large
+    patches from a downsampled, sigma0-blurred level instead of the
+    full-resolution image (SURVEY.md §7 hard-part 1 option (b)).
+    The result carries blur sigma0 in its own pixels, i.e.
+    sigma0 * 2^octave in input pixels (1.6 absorbs the assumed 0.5).
+    """
+    first, _ = prepare_first_level(images, cfg)
+    sig = level_sigmas(cfg)
+    step = cfg.sigma_step
+    cur = first
+    for _ in range(octave):
+        for i in range(cfg.num_scales):
+            inc = sig[i] * math.sqrt(step * step - 1.0)
+            cur = gaussian_blur_traced(cur, jnp.asarray(gaussian_taps(inc)))
+        cur = half_image(cur)
+    return cur
+
+
 def build_octave(first_level: jnp.ndarray, pixel_distance: float,
                  cfg: HesaffConfig) -> Octave:
     """One octave's blur + DoH stacks (pyramid.cpp:224-258 schedule).

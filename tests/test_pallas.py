@@ -192,3 +192,49 @@ def test_grouped_extraction_matches_staged():
     od = np.asarray(out.desc)[ov].astype(int)
     for key in rk:
         assert np.abs(rd[rk[key]] - od[gk[key]]).max() <= 1
+
+
+def test_scaled_tail_matches_fullres_descriptors():
+    """Large patches warped from the half-resolution pyramid level (with
+    blur-composition-corrected anti-alias sigma) describe the same as
+    the full-resolution reference pipeline: SIFT descriptors within a
+    small L1 of the XLA full-res path."""
+    import jax
+
+    from hesaff_tpu.config import HesaffConfig
+    from hesaff_tpu.ops.pallas_patches import extract_group_pallas_scaled
+    from hesaff_tpu.patches import extract_bucket_batch
+    from hesaff_tpu.pyramid import scaled_first_level
+    from hesaff_tpu.sift import sift_descriptors
+
+    cfg = HesaffConfig()
+    rng = np.random.default_rng(11)
+    B, H, W = 2, 480, 640
+    images = jnp.asarray(_smooth_stacks(rng, 1, B, H, W)[0])
+    half = scaled_first_level(images, cfg, 1)
+    assert half.shape == (B, H // 2, W // 2)
+
+    K = 16
+    img_idx = jnp.asarray(rng.integers(0, B, K), jnp.int32)
+    x = jnp.asarray(rng.uniform(250, W - 250, K), jnp.float32)
+    y = jnp.asarray(rng.uniform(220, H - 220, K), jnp.float32)
+    s = jnp.asarray(rng.uniform(19.0, 41.0, K), jnp.float32)  # ws 200-430
+    a21 = jnp.asarray(rng.normal(0, 0.3, K), jnp.float32)
+    d = jnp.asarray(np.exp(rng.normal(0, 0.2, K)), jnp.float32)
+    a11, a22 = d, 1.0 / d
+    active = jnp.ones((K,), bool)
+
+    pk_ref, ok_ref = extract_bucket_batch(
+        images, 641, img_idx, x, y, s, a11, jnp.zeros(K), a21, a22,
+        cfg, active=active)
+    pk, ok = extract_group_pallas_scaled(
+        half, 2.0, 323, img_idx, x, y, s, a11, a21, a22, cfg,
+        active=active, orig_hw=(H, W), interpret=True)
+    np.testing.assert_array_equal(np.asarray(ok_ref), np.asarray(ok))
+    m = np.asarray(ok_ref) & np.asarray(ok)
+    assert m.sum() >= 8
+    d_ref = np.asarray(sift_descriptors(pk_ref, cfg)).astype(np.int32)
+    d_new = np.asarray(sift_descriptors(pk, cfg)).astype(np.int32)
+    l1 = np.abs(d_ref[m] - d_new[m]).mean(axis=1)
+    assert l1.mean() < 1.5, l1
+    assert l1.max() < 4.0, l1
