@@ -92,6 +92,7 @@ def detect_affine_batch(images: jnp.ndarray, cfg: HesaffConfig,
             vhw = vhw * 2
 
     fields = defaultdict(list)
+    next_firsts = []
     octave = 0
     while (cur.shape[-2] > cfg.min_octave_size
            and cur.shape[-1] > cfg.min_octave_size):
@@ -142,10 +143,15 @@ def detect_affine_batch(images: jnp.ndarray, cfg: HesaffConfig,
         fields["a22"].append(r22.reshape(shp))
         fields["overflow"].append(comp["overflow"][:, None])
         fields["n_cand"].append(comp["n_cand"][:, None])
+        next_firsts.append(nxt)
         cur = nxt
         pd *= 2.0
         octave += 1
-    return {k: jnp.concatenate(v, axis=1) for k, v in fields.items()}
+    out = {k: jnp.concatenate(v, axis=1) for k, v in fields.items()}
+    # downsampled sigma0-blurred first levels (free by-products of the
+    # octave loop) — phase B's pyramid-tail patch source
+    out["next_firsts"] = next_firsts
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("bucket", "prev_bucket", "cfg"))
@@ -182,6 +188,7 @@ def extract_batch(images, cfg: HesaffConfig = DEFAULT_CONFIG,
         valid_hw = jnp.asarray(valid_hw, jnp.int32)
     B = images.shape[0]
     out = detect_affine_batch(images, cfg, valid_hw=valid_hw)
+    out.pop("next_firsts", None)
     out = jax.tree.map(np.asarray, out)
 
     ok = out["ok"]                       # (B, N_cap)

@@ -99,6 +99,7 @@ def extraction_step(images: jnp.ndarray, cfg: HesaffConfig,
     """
     B = images.shape[0]
     out = detect_affine_batch(images, cfg)
+    out.pop("next_firsts", None)
 
     ncap = out["ok"].shape[1]
     flat = {k: v.reshape(-1) for k, v in out.items()
@@ -160,12 +161,16 @@ def extraction_step(images: jnp.ndarray, cfg: HesaffConfig,
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _phase_a_flat(images, cfg: HesaffConfig):
-    """Phase A producing flattened per-keypoint fields (device-resident)."""
+    """Phase A producing flattened per-keypoint fields (device-resident).
+
+    Also returns the octave first levels (pyramid by-products) for the
+    phase-B pyramid-tail patch source."""
     out = detect_affine_batch(images, cfg)
+    levels = out.pop("next_firsts")
     flat = {k: v.reshape(-1) for k, v in out.items()
             if k not in ("overflow", "n_cand")}
     flat["overflow"] = jnp.sum(out["overflow"])
-    return flat
+    return flat, levels
 
 
 @functools.partial(jax.jit,
@@ -379,7 +384,7 @@ def extraction_step_grouped(images, cfg: HesaffConfig,
     """
     from hesaff_tpu.patches import _min_workspace
 
-    flat = _phase_a_flat(images, cfg)
+    flat, levels_a = _phase_a_flat(images, cfg)
     ncap = flat["x"].shape[0] // images.shape[0]
 
     mixed = (_min_workspace(cfg)
@@ -408,7 +413,11 @@ def extraction_step_grouped(images, cfg: HesaffConfig,
                 ps *= 2.0
             octave = int(round(np.log2(ps / base_pd)))
             if octave not in levels:
-                levels[octave] = _scaled_level_stage(images, cfg, octave)
+                # pyramid by-product: next_firsts[o-1] IS octave o's
+                # first level (no recompute)
+                levels[octave] = (
+                    levels_a[octave - 1] if octave - 1 < len(levels_a)
+                    else _scaled_level_stage(images, cfg, octave))
             bucket_src = int(2 * -(-(bsize - 2) // (2 * ps)) + 3)
             pk, pok, gi, a, valid, over = _tail_select_stage(
                 levels[octave], flat, cfg, bsize, bcap, prev, ncap,
@@ -454,7 +463,7 @@ def extraction_step_staged(images, cfg: HesaffConfig,
     download — while compile cost is a set of small, individually
     cached programs instead of one giant HLO.
     """
-    flat = _phase_a_flat(images, cfg)
+    flat, _ = _phase_a_flat(images, cfg)
     ncap = flat["x"].shape[0] // images.shape[0]  # static per-image slots
     overflow = flat["overflow"]
     pieces = []

@@ -86,7 +86,8 @@ def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
     def kernel(act_ref, rb_ref, cb_ref, img_ref, ws_ref,
                x_ref, y_ref, a11_ref, a21_ref, a22_ref, its_ref, taps_ref,
                images_ref, patch_ref, bad_ref,
-               win, wsbuf, ysbuf, padv, blurv, padh, sems):
+               win, wsbuf, ysbuf, vxbuf, rowacc, badacc, padv, blurv,
+               padh, sems):
         def dma(kb):
             return pltpu.make_async_copy(
                 images_ref.at[img_ref[0, 0, kb],
@@ -101,26 +102,17 @@ def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
             def _():
                 dma(kb).start()
 
+        # ---- x-pass per keypoint: ysbuf[kb] = win[kb] @ ExT ----
         for kb in range(KB):
             @pl.when(act_ref[0, 0, kb] != 0)
             def _():
                 dma(kb).wait()
-                w = win[kb]
                 x = x_ref[0, 0, kb]
-                y = y_ref[0, 0, kb]
                 a11 = a11_ref[0, 0, kb]
-                a21 = a21_ref[0, 0, kb]
-                a22 = a22_ref[0, 0, kb]
-                its = its_ref[0, 0, kb]
-                ws = ws_ref[0, 0, kb]                      # true workspace side
-                r0f = jnp.float32(rb_ref[0, 0, kb] * 8)
+                ws = ws_ref[0, 0, kb]
                 c0f = jnp.float32(cb_ref[0, 0, kb] * 128)
                 half = jnp.float32(ws >> 1)
                 wsm1 = jnp.float32(ws - 1)
-
-                # ---- x-pass: ys = win @ ExT  (WY, bucket) ----
-                # (elementwise chains fuse in Mosaic; only slice results
-                # and ref traffic occupy stack)
                 q_x = jax.lax.broadcasted_iota(
                     jnp.int32, (WX, bucket), 1).astype(jnp.float32)
                 eff_x = jnp.minimum(q_x, wsm1) - half
@@ -137,88 +129,143 @@ def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
                               jnp.where(exq == 1, fxq, 0.0)),
                     0.0,
                 )
-                ysbuf[:] = dot_bf16x3(w, ExT)    # (WY, bucket)
-                vx_row = valid_x[0:1, :]             # (1, bucket)
+                ysbuf[kb] = dot_bf16x3(win[kb], ExT)   # (WY, bucket)
+                vxbuf[kb] = valid_x[0:1, :].astype(jnp.float32)
 
-                # ---- y-pass: one output row per step ----
-                iota_i = jax.lax.broadcasted_iota(jnp.int32, (1, bucket), 1).astype(jnp.float32)
-                eff_i = jnp.minimum(iota_i, wsm1) - half
-                cy = y + eff_i * a21                 # (1, bucket) row bases
-                span = jnp.abs(a21) * wsm1 + 4.0
-                iota_ly = jax.lax.broadcasted_iota(jnp.int32, (LY, bucket), 0).astype(jnp.float32)
-                cmin = jnp.minimum(cy[0, 0], cy[0, bucket - 1])
+            @pl.when(act_ref[0, 0, kb] == 0)
+            def _():
+                # scratch may hold stale/NaN bits; the batched y-pass
+                # multiplies every slot, so inactive rows must be finite
+                ysbuf[kb] = jnp.zeros((WY, bucket), jnp.float32)
+                vxbuf[kb] = jnp.zeros((1, bucket), jnp.float32)
 
-                def row_fast(j, bad):
-                    effj = jnp.minimum(jnp.float32(j), wsm1) - half
-                    wyj = cy + effj * a22            # (1, bucket)
-                    base = jnp.clip(
-                        (cmin - r0f + effj * a22 - 1.0).astype(jnp.int32),
-                        0, WY - LY)
-                    # quantize the band origin to 8 rows (provable VMEM
-                    # slice alignment); LY carries the +8 margin
-                    base8 = base // 8
-                    basef = jnp.float32(base8 * 8)
-                    y0f = jnp.floor(wyj)
-                    fy = wyj - y0f
-                    valid_y = (y0f >= 0) & (y0f < H - 1)
-                    eyj = iota_ly - (y0f - r0f - basef)
-                    Ey = jnp.where(
-                        valid_y,
-                        jnp.where(eyj == 0, 1.0 - fy,
-                                  jnp.where(eyj == 1, fy, 0.0)),
-                        0.0,
-                    )
-                    band = ysbuf[pl.ds(base8 * 8, LY), :]
-                    wsbuf[j, :] = jnp.sum(Ey * band, axis=0)
-                    return bad | jnp.any(~(valid_y & vx_row))
+        # ---- y-pass: ONE row loop batched over all KB keypoints ----
+        # (the per-keypoint row loop was the stage hotspot: bucket
+        # sequential (LY, bucket) chains per keypoint; batching widens
+        # each iteration to (KB, LY, bucket) and cuts iterations KB-fold)
+        def vec(ref, dtype=jnp.float32):
+            # (KB, 1, 1) built by stacking (1, 1) broadcasts — a bare
+            # scalar stack + reshape is an unsupported Mosaic shape cast
+            return jnp.stack([
+                jnp.full((1, 1), ref[0, 0, kb]).astype(dtype)
+                for kb in range(KB)
+            ])
 
-                def row_full(j, bad):
-                    # shear fallback: accumulate 128-row bands through a
-                    # scratch row (blurv is free until the blur stage) —
-                    # full-(WY, bucket) Ey slabs blow the VMEM stack at
-                    # large buckets
-                    effj = jnp.minimum(jnp.float32(j), wsm1) - half
-                    wyj = cy + effj * a22
-                    y0f = jnp.floor(wyj)
-                    fy = wyj - y0f
-                    valid_y = (y0f >= 0) & (y0f < H - 1)
-                    blurv[0:1, :] = jnp.zeros((1, bucket), jnp.float32)
-                    for b0 in range(0, WY, 128):
-                        n = min(128, WY - b0)
-                        eyb = (jax.lax.broadcasted_iota(
-                            jnp.int32, (n, bucket), 0)
-                            .astype(jnp.float32) + b0) - (y0f - r0f)
-                        Eyb = jnp.where(
-                            valid_y,
-                            jnp.where(eyb == 0, 1.0 - fy,
-                                      jnp.where(eyb == 1, fy, 0.0)),
-                            0.0,
-                        )
-                        blurv[0:1, :] += jnp.sum(
-                            Eyb * ysbuf[b0:b0 + n, :], axis=0,
-                            keepdims=True)
-                    wsbuf[j, :] = blurv[0, :]
-                    return bad | jnp.any(~(valid_y & vx_row))
+        yv = vec(y_ref)
+        a21v = vec(a21_ref)
+        a22v = vec(a22_ref)
+        wsv = vec(ws_ref, jnp.int32)
+        actv = vec(act_ref, jnp.int32)
+        r0fv = vec(rb_ref, jnp.float32) * 8.0
+        halfv = (wsv >> 1).astype(jnp.float32)
+        wsm1v = (wsv - 1).astype(jnp.float32)
+        iota_b = jax.lax.broadcasted_iota(
+            jnp.int32, (KB, 1, bucket), 2).astype(jnp.float32)
+        eff_i = jnp.minimum(iota_b, wsm1v) - halfv     # (KB, 1, bucket)
+        cy = yv + eff_i * a21v
+        vx = vxbuf[:] > 0.5                             # (KB, 1, bucket)
+        iota_ly3 = jax.lax.broadcasted_iota(
+            jnp.int32, (KB, LY, bucket), 1).astype(jnp.float32)
 
-                bad = jax.lax.cond(
-                    span <= LY - 10,
-                    lambda: jax.lax.fori_loop(
-                        0, bucket, row_fast, jnp.bool_(False)),
-                    lambda: jax.lax.fori_loop(
-                        0, bucket, row_full, jnp.bool_(False)),
-                )
+        def onehot(e, fy, validy):
+            return jnp.where(
+                validy,
+                jnp.where(e == 0, 1.0 - fy,
+                          jnp.where(e == 1, fy, 0.0)),
+                0.0,
+            )
 
-                # ---- separable blur (edge replicate; _blur_one) ----
-                # accumulate through scratch refs with STATIC-offset
-                # slices: an unrolled KMAX-term value chain makes Mosaic
-                # materialize every term (64 MB stack at bucket 385);
-                # read-modify-write through a ref bounds the live set to
-                # one slice + the accumulator
+        badacc[:] = jnp.zeros((KB, 1, bucket), jnp.float32)
+
+        def row_fast(j, carry):
+            effj = jnp.minimum(jnp.float32(j), wsm1v) - halfv
+            wyj = cy + effj * a22v                      # (KB, 1, bucket)
+            y0f = jnp.floor(wyj)
+            fy = wyj - y0f
+            validy = (y0f >= 0) & (y0f < H - 1)
+            # per-keypoint band origin on the SCALAR core (vector->scalar
+            # extraction crashes Mosaic's layout inference)
+            bands = []
+            basefs = []
+            for kb in range(KB):
+                yk = y_ref[0, 0, kb]
+                a21k = a21_ref[0, 0, kb]
+                a22k = a22_ref[0, 0, kb]
+                wsk = ws_ref[0, 0, kb]
+                halfk = jnp.float32(wsk >> 1)
+                wsm1k = jnp.float32(wsk - 1)
+                e0 = -halfk
+                e1 = jnp.minimum(jnp.float32(bucket - 1), wsm1k) - halfk
+                cmink = jnp.minimum(yk + e0 * a21k, yk + e1 * a21k)
+                effjk = jnp.minimum(jnp.float32(j), wsm1k) - halfk
+                r0fk = jnp.float32(rb_ref[0, 0, kb] * 8)
+                b8 = jnp.clip(
+                    (cmink - r0fk + effjk * a22k - 1.0)
+                    .astype(jnp.int32) // 8,
+                    0, (WY - LY) // 8)
+                bands.append(ysbuf[kb, pl.ds(b8 * 8, LY), :])
+                basefs.append(jnp.full((1, 1), b8 * 8).astype(jnp.float32))
+            bands = jnp.stack(bands)                    # (KB, LY, bucket)
+            basef = jnp.stack(basefs)                   # (KB, 1, 1)
+            eyj = iota_ly3 - (y0f - r0fv - basef)
+            Ey = onehot(eyj, fy, validy)
+            wsbuf[:, pl.ds(j, 1), :] = jnp.sum(
+                Ey * bands, axis=1, keepdims=True)
+            badacc[:] = jnp.maximum(
+                badacc[:], (~(validy & vx)).astype(jnp.float32))
+            return carry
+
+        def row_full(j, carry):
+            # shear fallback: accumulate 128-row bands through scratch
+            effj = jnp.minimum(jnp.float32(j), wsm1v) - halfv
+            wyj = cy + effj * a22v
+            y0f = jnp.floor(wyj)
+            fy = wyj - y0f
+            validy = (y0f >= 0) & (y0f < H - 1)
+            rowacc[:] = jnp.zeros((KB, 1, bucket), jnp.float32)
+            for b0 in range(0, WY, 128):
+                n = min(128, WY - b0)
+                eyb = (jax.lax.broadcasted_iota(
+                    jnp.int32, (KB, n, bucket), 1).astype(jnp.float32)
+                    + b0) - (y0f - r0fv)
+                Eyb = onehot(eyb, fy, validy)
+                rowacc[:] += jnp.sum(
+                    Eyb * ysbuf[:, b0:b0 + n, :], axis=1, keepdims=True)
+            wsbuf[:, pl.ds(j, 1), :] = rowacc[:]
+            badacc[:] = jnp.maximum(
+                badacc[:], (~(validy & vx)).astype(jnp.float32))
+            return carry
+
+        # all-keypoints fast/full decision on the scalar core
+        fast_ok = jnp.bool_(True)
+        for kb in range(KB):
+            wsm1k = jnp.float32(ws_ref[0, 0, kb] - 1)
+            spank = jnp.abs(a21_ref[0, 0, kb]) * wsm1k + 4.0
+            fast_ok = fast_ok & ((spank <= LY - 10)
+                                 | (act_ref[0, 0, kb] == 0))
+        jax.lax.cond(
+            fast_ok,
+            lambda: jax.lax.fori_loop(
+                0, bucket, row_fast, jnp.int32(0)),
+            lambda: jax.lax.fori_loop(
+                0, bucket, row_full, jnp.int32(0)),
+        )
+
+        # ---- per-keypoint separable blur + subsample ----
+        for kb in range(KB):
+            @pl.when(act_ref[0, 0, kb] != 0)
+            def _():
+                ws = ws_ref[0, 0, kb]
+                its = its_ref[0, 0, kb]
+                half = jnp.float32(ws >> 1)
+                # blur accumulates through scratch refs with STATIC
+                # slices (an unrolled KMAX-term value chain makes Mosaic
+                # materialize every term — 64 MB at bucket 385)
                 padv[0:r_blur, :] = jnp.broadcast_to(
-                    wsbuf[0:1, :], (r_blur, bucket))
-                padv[r_blur:r_blur + bucket, :] = wsbuf[:]
+                    wsbuf[kb, 0:1, :], (r_blur, bucket))
+                padv[r_blur:r_blur + bucket, :] = wsbuf[kb]
                 padv[r_blur + bucket:, :] = jnp.broadcast_to(
-                    wsbuf[bucket - 1:bucket, :], (r_blur, bucket))
+                    wsbuf[kb, bucket - 1:bucket, :], (r_blur, bucket))
                 blurv[:] = taps_ref[0, kb, 0] * padv[0:bucket, :]
                 for t in range(1, KMAX):
                     blurv[:] += taps_ref[0, kb, t] * padv[t:t + bucket, :]
@@ -227,33 +274,38 @@ def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
                 padh[:, r_blur:r_blur + bucket] = blurv[:]
                 padh[:, r_blur + bucket:] = jnp.broadcast_to(
                     blurv[:, bucket - 1:bucket], (bucket, r_blur))
-                wsbuf[:] = taps_ref[0, kb, 0] * padh[:, 0:bucket]
+                blurv[:] = taps_ref[0, kb, 0] * padh[:, 0:bucket]
                 for t in range(1, KMAX):
-                    wsbuf[:] += taps_ref[0, kb, t] * padh[:, t:t + bucket]
-                acc2 = wsbuf[:]
+                    blurv[:] += taps_ref[0, kb, t] * padh[:, t:t + bucket]
 
-                # ---- subsample: patch = S @ blurred @ ST ----
+                # subsample: patch = S @ blurred @ ST
                 ofs = jnp.float32(ws >> 1)
-                k_s = jax.lax.broadcasted_iota(jnp.int32, (P, bucket), 0).astype(jnp.float32) - half_p
+                k_s = jax.lax.broadcasted_iota(
+                    jnp.int32, (P, bucket), 0).astype(jnp.float32) - half_p
                 pos = ofs + k_s * its
                 p0 = jnp.floor(pos)
                 fs = pos - p0
-                ds = jax.lax.broadcasted_iota(jnp.int32, (P, bucket), 1).astype(jnp.float32) - p0
+                ds = jax.lax.broadcasted_iota(
+                    jnp.int32, (P, bucket), 1).astype(jnp.float32) - p0
                 S = jnp.where(ds == 0, 1.0 - fs,
                               jnp.where(ds == 1, fs, 0.0))
-                k_t = jax.lax.broadcasted_iota(jnp.int32, (bucket, P), 1).astype(jnp.float32) - half_p
+                k_t = jax.lax.broadcasted_iota(
+                    jnp.int32, (bucket, P), 1).astype(jnp.float32) - half_p
                 pos_t = ofs + k_t * its
                 p0t = jnp.floor(pos_t)
                 fst = pos_t - p0t
-                dst = jax.lax.broadcasted_iota(jnp.int32, (bucket, P), 0).astype(jnp.float32) - p0t
+                dst = jax.lax.broadcasted_iota(
+                    jnp.int32, (bucket, P), 0).astype(jnp.float32) - p0t
                 ST = jnp.where(dst == 0, 1.0 - fst,
                                jnp.where(dst == 1, fst, 0.0))
-                tpatch = jnp.dot(S, acc2, preferred_element_type=jnp.float32,
+                tpatch = jnp.dot(S, blurv[:],
+                                 preferred_element_type=jnp.float32,
                                  precision=_HI)
                 patch_ref[kb] = jnp.dot(
                     tpatch, ST, preferred_element_type=jnp.float32,
                     precision=_HI)
-                bad_ref[0, 0, kb] = bad.astype(jnp.int32)
+                bad_ref[0, 0, kb] = jnp.any(
+                    badacc[kb] > 0.5).astype(jnp.int32)
 
             @pl.when(act_ref[0, 0, kb] == 0)
             def _():
@@ -325,12 +377,15 @@ def patches_pallas(images: jnp.ndarray, bucket: int, act, img_idx, rb, cb,
             jax.ShapeDtypeStruct((K // KB, 1, KB), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((KB, WY, WX), jnp.float32),
-            pltpu.VMEM((bucket, bucket), jnp.float32),
-            pltpu.VMEM((WY, bucket), jnp.float32),
-            pltpu.VMEM((bucket + KMAX - 1, bucket), jnp.float32),
-            pltpu.VMEM((bucket, bucket), jnp.float32),
-            pltpu.VMEM((bucket, bucket + KMAX - 1), jnp.float32),
+            pltpu.VMEM((KB, WY, WX), jnp.float32),            # win
+            pltpu.VMEM((KB, bucket, bucket), jnp.float32),    # wsbuf
+            pltpu.VMEM((KB, WY, bucket), jnp.float32),        # ysbuf
+            pltpu.VMEM((KB, 1, bucket), jnp.float32),         # vxbuf
+            pltpu.VMEM((KB, 1, bucket), jnp.float32),         # rowacc
+            pltpu.VMEM((KB, 1, bucket), jnp.float32),         # badacc
+            pltpu.VMEM((bucket + KMAX - 1, bucket), jnp.float32),  # padv
+            pltpu.VMEM((bucket, bucket), jnp.float32),        # blurv
+            pltpu.VMEM((bucket, bucket + KMAX - 1), jnp.float32),  # padh
             pltpu.SemaphoreType.DMA((KB,)),
         ],
         interpret=interpret,

@@ -65,7 +65,8 @@ def main():
     def run_once(report=False):
         t = {}
         t0 = time.perf_counter()
-        flat = sync(_phase_a_flat(images, cfg))
+        flat, _ = _phase_a_flat(images, cfg)
+        flat = sync(flat)
         t["phaseA(detect+affine)"] = time.perf_counter() - t0
         ncap = flat["x"].shape[0] // images.shape[0]
         pieces = []
