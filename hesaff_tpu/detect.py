@@ -160,31 +160,76 @@ def _localization_maps(low, cur, high, cfg: HesaffConfig):
     return jnp.concatenate([b, val[..., None]], axis=-1), edge_bad
 
 
-def _walk_one(maps, edge_bad, blur, r0, c0, cur_scale, pixel_distance,
+def _pack_walk_channels(maps, edge_bad, blur):
+    """(H, W, 8) channel pack for the windowed walk: [b0, b1, b2, val,
+    nan_flag, edge_bad, blur, 0].
+
+    NaN solves (solve3x3's singular signal) become an explicit flag
+    channel and the values are sanitized: the walk reads cells via
+    one-hot contractions, and a raw NaN anywhere in the window would
+    poison every read (NaN * 0 == NaN).
+    """
+    nan_flag = jnp.any(jnp.isnan(maps[..., :3]), axis=-1)
+    clean = jnp.nan_to_num(maps)
+    return jnp.stack(
+        [clean[..., 0], clean[..., 1], clean[..., 2], clean[..., 3],
+         nan_flag.astype(jnp.float32), edge_bad.astype(jnp.float32),
+         blur, jnp.zeros_like(blur)], axis=-1)
+
+
+def _walk_one(allm, r0, c0, cur_scale, pixel_distance,
               rows, cols, cfg: HesaffConfig):
     """Per-candidate bounded walk over the dense localization maps.
 
-    Decision logic identical to _localize_one; each step reads the
-    precomputed (b, val) at the current cell (4 contiguous floats).
+    Decision logic identical to the reference's localizeKeypoint
+    (pyramid.cpp:122-204).  The walk moves at most +-1 px per iteration
+    and the last iteration's move is never adopted, so every visited
+    cell lies in a (2R+1) x (2R+3) window around the start (R extra
+    cols left/right for the final blur-Lxx row).  One contiguous
+    dynamic_slice fetches that window; the steps then read cells with
+    cheap in-register one-hot contractions instead of per-step gathers
+    (scattered 4-float gathers were the detect hot spot on TPU).
     """
-    r = r0
-    c = c0
+    R = cfg.localize_iterations - 1
+    WR, WC = 2 * R + 1, 2 * R + 3
+    # replicate dynamic_slice's start clamp so the in-window center
+    # stays correct even when the slice hits an image corner (padding
+    # slots, or a non-default border < R+1)
+    sr0 = jnp.clip(r0 - R, 0, rows - WR)
+    sc0 = jnp.clip(c0 - (R + 1), 0, cols - WC)
+    w = jax.lax.dynamic_slice(allm, (sr0, sc0, 0), (WR, WC, 8))
+    ir = jax.lax.broadcasted_iota(jnp.int32, (WR, WC), 0)
+    ic = jax.lax.broadcasted_iota(jnp.int32, (WR, WC), 1)
+    cr = r0 - sr0
+    cc = c0 - sc0
+
+    def at(dr, dc):
+        onehot = ((ir == cr + dr)
+                  & (ic == cc + dc)).astype(jnp.float32)
+        return jnp.sum(w * onehot[..., None], axis=(0, 1))  # (8,)
+
+    dr = jnp.int32(0)
+    dc = jnp.int32(0)
     b = jnp.zeros(3, jnp.float32)
     val = jnp.float32(0.0)
-    alive = ~jax.lax.dynamic_slice(edge_bad, (r0, c0), (1, 1))[0, 0]
+    v = at(dr, dc)
+    alive = ~(v[5] > 0.5)
     rejected = ~alive
     converged = jnp.bool_(False)
 
     for it in range(cfg.localize_iterations):
-        v = jax.lax.dynamic_slice(maps, (r, c, 0), (1, 1, 4))[0, 0]
+        if it > 0:
+            v = at(dr, dc)
         sol = v[:3]
-        nan_bad = jnp.any(jnp.isnan(sol))
+        nan_bad = v[4] > 0.5
         rejected = rejected | (alive & nan_bad)
         alive = alive & ~nan_bad
 
         b = jnp.where(alive, sol, b)
         val = jnp.where(alive, v[3], val)
 
+        r = r0 + dr
+        c = c0 + dc
         move_px = sol[0] > cfg.max_subpixel_shift
         move_nx = sol[0] < -cfg.max_subpixel_shift
         move_py = sol[1] > cfg.max_subpixel_shift
@@ -197,14 +242,14 @@ def _walk_one(maps, edge_bad, blur, r0, c0, cur_scale, pixel_distance,
         rejected = rejected | (alive & border_bad)
         alive = alive & ~border_bad
 
-        dc = jnp.where(move_px, 1, 0) + jnp.where(move_nx, -1, 0)
-        dr = jnp.where(move_py, 1, 0) + jnp.where(move_ny, -1, 0)
-        moved = (dc != 0) | (dr != 0)
+        sc = jnp.where(move_px, 1, 0) + jnp.where(move_nx, -1, 0)
+        sr = jnp.where(move_py, 1, 0) + jnp.where(move_ny, -1, 0)
+        moved = (sc != 0) | (sr != 0)
         converged = converged | (alive & ~moved)
         alive = alive & moved
         if it < cfg.localize_iterations - 1:
-            c = jnp.where(alive, c + dc, c)
-            r = jnp.where(alive, r + dr, r)
+            dc = jnp.where(alive, dc + sc, dc)
+            dr = jnp.where(alive, dr + sr, dr)
 
     lim = cfg.final_shift_limit
     shift_bad = (
@@ -214,14 +259,15 @@ def _walk_one(maps, edge_bad, blur, r0, c0, cur_scale, pixel_distance,
     ok = ~rejected & ~shift_bad & ~weak
 
     scale = cur_scale * jnp.exp2(b[2] / cfg.num_scales)
-    brow = jax.lax.dynamic_slice(blur, (r, c - 1), (1, 3))[0]
-    lxx = brow[0] - 2.0 * brow[1] + brow[2]
+    lxx = at(dr, dc - 1)[6] - 2.0 * at(dr, dc)[6] + at(dr, dc + 1)[6]
     ptype = jnp.where(
         val < 0,
         HESSIAN_SADDLE,
         jnp.where(lxx < 0, HESSIAN_DARK, HESSIAN_BRIGHT),
     ).astype(jnp.int32)
 
+    r = r0 + dr
+    c = c0 + dc
     x = pixel_distance * (c.astype(jnp.float32) + b[0])
     y = pixel_distance * (r.astype(jnp.float32) + b[1])
     s = pixel_distance * scale
@@ -242,10 +288,11 @@ def detect_level(low, cur, high, blur, cur_scale: float,
     mask = candidate_mask(low, cur, high, cfg, valid_hw=valid_hw)
     rows, cols, valid, overflow = compact_candidates(mask, capacity)
     maps, edge_bad = _localization_maps(low, cur, high, cfg)
+    allm = _pack_walk_channels(maps, edge_bad, blur)
 
     loc = jax.vmap(
         lambda r, c: _walk_one(
-            maps, edge_bad, blur, r, c,
+            allm, r, c,
             jnp.float32(cur_scale), jnp.float32(pixel_distance),
             H, W, cfg,
         )

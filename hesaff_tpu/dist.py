@@ -273,6 +273,12 @@ def _group_select_stage(images, flat, cfg: HesaffConfig, bsize: int,
         its_all = (ws - 2).astype(jnp.float32) / cfg.patch_size
         m = m & ~(its_all <= cfg.oversample_cutoff)
     idx, valid, over = compact_indices(m, bcap)
+    # shear-sort so the kernel's KB-blocks are shear-homogeneous and
+    # its narrow-band y-pass (all-slots-low cond) actually engages
+    order = jnp.argsort(jnp.where(valid, jnp.abs(flat["a21"][idx]),
+                                  jnp.inf))
+    idx = idx[order]
+    valid = valid[order]
     gi = (idx // ncap).astype(jnp.int32)
     a = {k: flat[k][idx] for k in
          ("x", "y", "s", "a11", "a12", "a21", "a22", "response")}
@@ -309,6 +315,10 @@ def _tail_select_stage(images_src, flat, cfg: HesaffConfig, bsize: int,
     ws = 2 * mr_scale.astype(jnp.int32) + 3
     m = ok & (ws > prev) & (ws <= bsize)
     idx, valid, over = compact_indices(m, bcap)
+    order = jnp.argsort(jnp.where(valid, jnp.abs(flat["a21"][idx]),
+                                  jnp.inf))
+    idx = idx[order]
+    valid = valid[order]
     gi = (idx // ncap).astype(jnp.int32)
     a = {k: flat[k][idx] for k in
          ("x", "y", "s", "a11", "a12", "a21", "a22", "response")}

@@ -24,6 +24,20 @@ divisible by the (8, 128) tile — so the kernel receives origins as
 (semantic window rounded out to tile boundaries).  The out-of-window
 observability check still uses the semantic window so results match
 the XLA path bit-for-bit.
+
+Lane economy: the DMA'd superset carries up to 127 alignment-margin
+columns, but the sampling one-hot only needs the WIN (<=120) semantic
+columns — so each keypoint's window is dynamically lane-rolled
+(pltpu.roll) to put the semantic origin at (or within coverage slack
+of) lane 0 and sliced to round_up(WIN, 128) lanes before the loop.
+Coverage proof: uncapped origins land exactly (shift < 128); capped
+origins satisfy c128 = Wp - WINX >= c0 + WIN - XL since c0 + WIN <= W.
+This halves both the per-iteration VPU one-hot work and the MXU
+sampling contraction.  One-hot weights use the hat identity
+max(0, 1 - |e - f|) == select(e==0, 1-f, e==1 -> f, 0) for integer
+lane offsets e — bit-exact with the select form: every intermediate
+(wy - r8f, iota - x, 1 - frac) is an exact f32 operation because all
+operands are multiples of one scale with sums below 2^24.
 """
 
 from __future__ import annotations
@@ -38,10 +52,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from hesaff_tpu.config import HesaffConfig
 from hesaff_tpu.ops.linalg import eigenvalues_2x2, inv_sqrt_2x2
-from hesaff_tpu.ops.pallas_util import dot_bf16x3
 
 # keypoints per grid step (window scratch = KB * WINY * WINX * 4 bytes)
 _KB = 8
+
+# narrow the window with a dynamic lane roll (cheap) vs an exact 0/1
+# select matmul (fallback if tpu.DynamicRotate fails to lower)
+_USE_ROLL = True
 
 
 def _round_up(v: int, m: int) -> int:
@@ -73,6 +90,7 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int):
     half = G >> 1
     mask_pixels = float(N)
     WINY, WINX = aligned_window(WIN)
+    XL = _round_up(WIN, 128)         # rolled window lane extent
 
     def kernel(src_ref, rb_ref, cb_ref, act_ref, lx_ref, ly_ref, ratio_ref,
                stack_ref, mask_ref, aj_ref, bi_ref,
@@ -92,80 +110,105 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int):
             def _():
                 dma(kb).start()
 
-        # constant per-sample-index grids: p -> (j, i) in the 19x19
-        # affine grid, one copy per one-hot operand shape
-        def coord_grids(width):
-            p_i = jax.lax.broadcasted_iota(jnp.int32, (N, width), 0)
-            j_i = p_i // G
-            i_i = p_i - j_i * G
-            return ((j_i - half).astype(jnp.float32),
-                    (i_i - half).astype(jnp.float32),
-                    jax.lax.broadcasted_iota(
-                        jnp.int32, (N, width), 1).astype(jnp.float32))
-
-        j_y, i_y, iota_y = coord_grids(WINY)
-        j_x, i_x, iota_x = coord_grids(WINX)
-        # small (19,19) copies for the out-of-window check
-        j_s = jax.lax.broadcasted_iota(
-            jnp.int32, (G, G), 0).astype(jnp.float32) - half
-        i_s = jax.lax.broadcasted_iota(
-            jnp.int32, (G, G), 1).astype(jnp.float32) - half
+        # constant (N, 1) columns: sample index p -> (j, i) in the 19x19
+        # affine grid (broadcast against the lane iotas per one-hot)
+        p_col = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+        jj = p_col // G
+        j_col = (jj - half).astype(jnp.float32)
+        i_col = (p_col - jj * G - half).astype(jnp.float32)
+        iota_y = jax.lax.broadcasted_iota(
+            jnp.int32, (N, WINY), 1).astype(jnp.float32)
+        iota_x = jax.lax.broadcasted_iota(
+            jnp.int32, (N, XL), 1).astype(jnp.float32)
 
         for kb in range(KB):
             @pl.when(act_ref[0, 0, kb] != 0)
             def _():
                 dma(kb).wait()
-                w = wnd[kb]
                 lx = lx_ref[0, 0, kb]
                 ly = ly_ref[0, 0, kb]
                 ratio = ratio_ref[0, 0, kb]
                 r8f = jnp.float32(rb_ref[0, 0, kb] * 8)
-                c128f = jnp.float32(cb_ref[0, 0, kb] * 128)
-                # semantic window origin (the XLA path's clip), for the
-                # out-of-window observability check only
+                # semantic window origin (the XLA path's clip)
                 r0o = jnp.float32(jnp.clip(
                     ly.astype(jnp.int32) - WIN // 2, 0, H - WIN))
-                c0o = jnp.float32(jnp.clip(
-                    lx.astype(jnp.int32) - WIN // 2, 0, W - WIN))
+                c0i = jnp.clip(lx.astype(jnp.int32) - WIN // 2, 0, W - WIN)
+                c0o = jnp.float32(c0i)
+                # roll the semantic origin to lane 0 (clamped so the XL
+                # slice never crosses the rolled wrap; see module doc)
+                shift = jnp.minimum(c0i - cb_ref[0, 0, kb] * 128,
+                                    WINX - XL)
+                if _USE_ROLL:
+                    wr = pltpu.roll(wnd[kb], -shift, axis=1)[:, :XL]
+                else:
+                    # exact narrowing via 0/1 select matmul: HIGHEST's
+                    # bf16x6 reconstructs each f32 exactly under a
+                    # permutation operand (all partial chunk sums are
+                    # representable)
+                    sel = (jax.lax.broadcasted_iota(
+                               jnp.int32, (WINX, XL), 0)
+                           == jax.lax.broadcasted_iota(
+                               jnp.int32, (WINX, XL), 1) + shift
+                           ).astype(jnp.float32)
+                    wr = jnp.dot(wnd[kb], sel,
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+                corig = jnp.float32(cb_ref[0, 0, kb] * 128 + shift)
+                # loop-invariant bf16 split of the window (the "b" side
+                # of the bf16x3 sampling matmul)
+                wh = wr.astype(jnp.bfloat16)
+                wl = (wr - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+                # the iteration state lives as (1, 1) VECTOR values: the
+                # SMM reductions keep dims, invSqrt/eigen run as (1, 1)
+                # elementwise ops, and only the loop condition reduces
+                # to the scalar core — one vector->scalar sync per
+                # iteration instead of one per reduction/branch (the
+                # scalar<->vector ping-pong dominated iteration latency)
+                ratio_v = jnp.full((1, 1), ratio)
 
                 def cond(state):
                     (_, _, _, _, _, alive, _, _, _, it) = state
-                    return alive & (it < cfg.max_iterations)
+                    return jnp.any(alive) & (it < cfg.max_iterations)
 
                 def body(state):
                     (u11, u12, u21, u22, ratio_bef, alive, converged,
                      conv_iter, violated, it) = state
-                    a11r = u11 * ratio
-                    a12r = u12 * ratio
-                    a21r = u21 * ratio
-                    a22r = u22 * ratio
+                    a11r = u11 * ratio_v
+                    a12r = u12 * ratio_v
+                    a21r = u21 * ratio_v
+                    a22r = u22 * ratio_v
 
-                    wy = ly + i_y * a21r + j_y * a22r
-                    wx = lx + i_x * a11r + j_x * a12r
+                    # per-sample warp coordinates, (N, 1) columns
+                    wy = ly + i_col * a21r + j_col * a22r
+                    wx = lx + i_col * a11r + j_col * a12r
                     y0f = jnp.floor(wy)
                     x0f = jnp.floor(wx)
-                    fy = wy - y0f
-                    fx = wx - x0f
-                    ey = iota_y - (y0f - r8f)
-                    ex = iota_x - (x0f - c128f)
                     # samples outside the image produce 0 (reference
                     # semantics helpers.cpp:229-239; the flag is ignored
                     # by findAffineShape, affine.cpp:47) — mask Ex so
                     # near-border floor indices don't alias into the
                     # window through the relative one-hot
-                    # y0f varies only with the sample index p (rows), so
-                    # its border test broadcasts as an (N, 1) column
-                    valid = ((x0f >= 0) & (x0f < W - 1)
-                             & (y0f[:, :1] >= 0) & (y0f[:, :1] < H - 1))
-                    Ey = jnp.where(ey == 0, 1.0 - fy,
-                                   jnp.where(ey == 1, fy, 0.0))
-                    Ex = jnp.where(valid,
-                                   jnp.where(ex == 0, 1.0 - fx,
-                                             jnp.where(ex == 1, fx, 0.0)),
-                                   0.0)
+                    validf = ((x0f >= 0) & (x0f < W - 1)
+                              & (y0f >= 0)
+                              & (y0f < H - 1)).astype(jnp.float32)
+                    # hat-identity bilinear one-hots over the lane iotas
+                    Ey = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(iota_y - (wy - r8f)))
+                    Ex = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(iota_x - (wx - corig))
+                    ) * validf
                     # bf16x3 sampling matmul: near-f32 accuracy at
                     # half the MXU passes of Mosaic's HIGHEST
-                    t = dot_bf16x3(Ey, w)
+                    eh = Ey.astype(jnp.bfloat16)
+                    el = (Ey - eh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+                    def d(p, q):
+                        return jax.lax.dot_general(
+                            p, q, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+
+                    t = d(eh, wh) + d(eh, wl) + d(el, wh)
                     val = jnp.sum(t * Ex, axis=1, keepdims=True)  # (N, 1)
                     img = jnp.dot(aj_ref[:], val * bi_ref[:],
                                   preferred_element_type=jnp.float32,
@@ -173,16 +216,13 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int):
 
                     # out-of-window observability (sample inside image
                     # but outside the SEMANTIC window — matches the XLA
-                    # path; the DMA'd superset is strictly larger)
-                    wxs = lx + i_s * a11r + j_s * a12r
-                    wys = ly + i_s * a21r + j_s * a22r
-                    xs0 = jnp.floor(wxs)
-                    ys0 = jnp.floor(wys)
-                    inside = ((xs0 >= 0) & (ys0 >= 0)
-                              & (xs0 < W - 1) & (ys0 < H - 1))
-                    ow = ((ys0 - r0o < 0) | (ys0 - r0o > WIN - 2)
-                          | (xs0 - c0o < 0) | (xs0 - c0o > WIN - 2))
-                    violated = violated | (alive & jnp.any(inside & ow))
+                    # path; the DMA'd superset is strictly larger) — on
+                    # the same (N, 1) coordinate columns
+                    ow = ((y0f - r0o < 0) | (y0f - r0o > WIN - 2)
+                          | (x0f - c0o < 0) | (x0f - c0o > WIN - 2))
+                    violated = violated | (
+                        alive & jnp.any((validf > 0) & ow,
+                                        axis=0, keepdims=True))
 
                     # gradients: central diffs, one-sided at edges,
                     # NOT halved (affine.cpp:14-33)
@@ -195,9 +235,11 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int):
                          img[2:, :] - img[:-2, :],
                          img[-1:, :] - img[-2:-1, :]], axis=0)
                     msk = mask_ref[:]
-                    a = jnp.sum(gx * gx * msk) / mask_pixels
-                    b = jnp.sum(gx * gy * msk) / mask_pixels
-                    c = jnp.sum(gy * gy * msk) / mask_pixels
+                    sum11 = lambda z: jnp.sum(z, axis=(0, 1),
+                                              keepdims=True)
+                    a = sum11(gx * gx * msk) / mask_pixels
+                    b = sum11(gx * gy * msk) / mask_pixels
+                    c = sum11(gy * gy * msk) / mask_pixels
 
                     ia, ib, ic, il1, il2 = inv_sqrt_2x2(a, b, c)
                     ratio_act = 1.0 - il2 / il1
@@ -221,19 +263,22 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int):
                     return (n11, n12, n21, n22, ratio_act, alive,
                             converged, conv_iter, violated, it + 1)
 
-                init = (jnp.float32(1.0), jnp.float32(0.0),
-                        jnp.float32(0.0), jnp.float32(1.0),
-                        jnp.float32(0.0), jnp.bool_(True),
-                        jnp.bool_(False), jnp.int32(0),
-                        jnp.bool_(False), jnp.int32(0))
+                one = jnp.ones((1, 1), jnp.float32)
+                zero = jnp.zeros((1, 1), jnp.float32)
+                init = (one, zero, zero, one, zero,
+                        jnp.ones((1, 1), bool),
+                        jnp.zeros((1, 1), bool),
+                        jnp.zeros((1, 1), jnp.int32),
+                        jnp.zeros((1, 1), bool), jnp.int32(0))
                 (u11, u12, u21, u22, _, _, converged, conv_iter,
                  violated, _) = jax.lax.while_loop(cond, body, init)
-                ok_ref[0, 0, kb] = (converged & ~violated).astype(jnp.int32)
-                u11_ref[0, 0, kb] = u11
-                u12_ref[0, 0, kb] = u12
-                u21_ref[0, 0, kb] = u21
-                u22_ref[0, 0, kb] = u22
-                iters_ref[0, 0, kb] = conv_iter
+                ok_ref[0, 0, kb] = jnp.any(
+                    converged & ~violated).astype(jnp.int32)
+                u11_ref[0, 0, kb] = jnp.sum(u11)
+                u12_ref[0, 0, kb] = jnp.sum(u12)
+                u21_ref[0, 0, kb] = jnp.sum(u21)
+                u22_ref[0, 0, kb] = jnp.sum(u22)
+                iters_ref[0, 0, kb] = jnp.sum(conv_iter)
 
             @pl.when(act_ref[0, 0, kb] == 0)
             def _():

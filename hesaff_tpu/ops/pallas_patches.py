@@ -77,11 +77,26 @@ def _group_kb(bucket: int) -> int:
     return 2 if bucket <= 512 else 1
 
 
+def _narrow_band(bucket: int, LY: int) -> int:
+    """Low-shear band side (most keypoints have |a21| << the LY bound;
+    a narrower band cuts the y-pass's per-row vector work ~2x).  The
+    group selection shear-sorts keypoints so KB-blocks are shear-
+    homogeneous and the narrow path actually engages."""
+    return min(LY, _round_up(max(40, bucket // 3), 8))
+
+
+_ROWS = 4   # output rows per y-pass iteration (amortizes the scalar-
+            # core band selection and the loop overhead)
+
+
 def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
                  H: int, W: int, cfg: HesaffConfig, KB: int):
     P = cfg.patch_size
     half_p = P >> 1
     r_blur = KMAX // 2
+    LYN = _narrow_band(bucket, LY)
+    R = _ROWS
+    bucketR = _round_up(bucket, R)
 
     def kernel(act_ref, rb_ref, cb_ref, img_ref, ws_ref,
                x_ref, y_ref, a11_ref, a21_ref, a22_ref, its_ref, taps_ref,
@@ -113,24 +128,22 @@ def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
                 c0f = jnp.float32(cb_ref[0, 0, kb] * 128)
                 half = jnp.float32(ws >> 1)
                 wsm1 = jnp.float32(ws - 1)
+                # warp x-coordinates depend only on the output column q:
+                # compute as a (1, bucket) row and broadcast into the
+                # hat-identity one-hot (bit-exact with the select form —
+                # see pallas_affine module doc)
                 q_x = jax.lax.broadcasted_iota(
-                    jnp.int32, (WX, bucket), 1).astype(jnp.float32)
+                    jnp.int32, (1, bucket), 1).astype(jnp.float32)
                 eff_x = jnp.minimum(q_x, wsm1) - half
                 wxq = x + eff_x * a11
                 x0f = jnp.floor(wxq)
-                fxq = wxq - x0f
-                valid_x = (x0f >= 0) & (x0f < W - 1)
-                exq = jax.lax.broadcasted_iota(
-                    jnp.int32, (WX, bucket), 0).astype(jnp.float32) \
-                    - (x0f - c0f)
-                ExT = jnp.where(
-                    valid_x,
-                    jnp.where(exq == 0, 1.0 - fxq,
-                              jnp.where(exq == 1, fxq, 0.0)),
-                    0.0,
-                )
+                validf_x = ((x0f >= 0) & (x0f < W - 1)).astype(jnp.float32)
+                iota_wx = jax.lax.broadcasted_iota(
+                    jnp.int32, (WX, bucket), 0).astype(jnp.float32)
+                ExT = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(iota_wx - (wxq - c0f))) * validf_x
                 ysbuf[kb] = dot_bf16x3(win[kb], ExT)   # (WY, bucket)
-                vxbuf[kb] = valid_x[0:1, :].astype(jnp.float32)
+                vxbuf[kb] = validf_x
 
             @pl.when(act_ref[0, 0, kb] == 0)
             def _():
@@ -163,93 +176,116 @@ def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
             jnp.int32, (KB, 1, bucket), 2).astype(jnp.float32)
         eff_i = jnp.minimum(iota_b, wsm1v) - halfv     # (KB, 1, bucket)
         cy = yv + eff_i * a21v
-        vx = vxbuf[:] > 0.5                             # (KB, 1, bucket)
-        iota_ly3 = jax.lax.broadcasted_iota(
-            jnp.int32, (KB, LY, bucket), 1).astype(jnp.float32)
-
-        def onehot(e, fy, validy):
-            return jnp.where(
-                validy,
-                jnp.where(e == 0, 1.0 - fy,
-                          jnp.where(e == 1, fy, 0.0)),
-                0.0,
-            )
+        vxf = vxbuf[:]                                  # (KB, 1, bucket)
 
         badacc[:] = jnp.zeros((KB, 1, bucket), jnp.float32)
 
-        def row_fast(j, carry):
-            effj = jnp.minimum(jnp.float32(j), wsm1v) - halfv
-            wyj = cy + effj * a22v                      # (KB, 1, bucket)
-            y0f = jnp.floor(wyj)
-            fy = wyj - y0f
-            validy = (y0f >= 0) & (y0f < H - 1)
-            # per-keypoint band origin on the SCALAR core (vector->scalar
-            # extraction crashes Mosaic's layout inference)
-            bands = []
-            basefs = []
-            for kb in range(KB):
-                yk = y_ref[0, 0, kb]
-                a21k = a21_ref[0, 0, kb]
-                a22k = a22_ref[0, 0, kb]
-                wsk = ws_ref[0, 0, kb]
-                halfk = jnp.float32(wsk >> 1)
-                wsm1k = jnp.float32(wsk - 1)
-                e0 = -halfk
-                e1 = jnp.minimum(jnp.float32(bucket - 1), wsm1k) - halfk
-                cmink = jnp.minimum(yk + e0 * a21k, yk + e1 * a21k)
-                effjk = jnp.minimum(jnp.float32(j), wsm1k) - halfk
-                r0fk = jnp.float32(rb_ref[0, 0, kb] * 8)
-                b8 = jnp.clip(
-                    (cmink - r0fk + effjk * a22k - 1.0)
-                    .astype(jnp.int32) // 8,
-                    0, (WY - LY) // 8)
-                bands.append(ysbuf[kb, pl.ds(b8 * 8, LY), :])
-                basefs.append(jnp.full((1, 1), b8 * 8).astype(jnp.float32))
-            bands = jnp.stack(bands)                    # (KB, LY, bucket)
-            basef = jnp.stack(basefs)                   # (KB, 1, 1)
-            eyj = iota_ly3 - (y0f - r0fv - basef)
-            Ey = onehot(eyj, fy, validy)
-            wsbuf[:, pl.ds(j, 1), :] = jnp.sum(
-                Ey * bands, axis=1, keepdims=True)
-            badacc[:] = jnp.maximum(
-                badacc[:], (~(validy & vx)).astype(jnp.float32))
-            return carry
+        def make_row_fast(LYB):
+            iota_lyb = jax.lax.broadcasted_iota(
+                jnp.int32, (KB, LYB, bucket), 1).astype(jnp.float32)
+
+            def row_fast(jb, carry):
+                j0 = jb * R
+                # per-keypoint band origin on the SCALAR core (vector->
+                # scalar extraction crashes Mosaic's layout inference);
+                # one band covers the R-row block (a22 > 0 after
+                # rectification, so the minimum lands on row j0 and the
+                # fast_ok margin below budgets the (R-1)*a22 growth)
+                bands = []
+                basefs = []
+                for kb in range(KB):
+                    yk = y_ref[0, 0, kb]
+                    a21k = a21_ref[0, 0, kb]
+                    a22k = a22_ref[0, 0, kb]
+                    wsk = ws_ref[0, 0, kb]
+                    halfk = jnp.float32(wsk >> 1)
+                    wsm1k = jnp.float32(wsk - 1)
+                    e0 = -halfk
+                    e1 = jnp.minimum(jnp.float32(bucket - 1),
+                                     wsm1k) - halfk
+                    cmink = jnp.minimum(yk + e0 * a21k, yk + e1 * a21k)
+                    effjk = jnp.minimum(jnp.float32(j0), wsm1k) - halfk
+                    r0fk = jnp.float32(rb_ref[0, 0, kb] * 8)
+                    b8 = jnp.clip(
+                        (cmink - r0fk + effjk * a22k - 1.0)
+                        .astype(jnp.int32) // 8,
+                        0, (WY - LYB) // 8)
+                    bands.append(ysbuf[kb, pl.ds(b8 * 8, LYB), :])
+                    basefs.append(
+                        jnp.full((1, 1), b8 * 8).astype(jnp.float32))
+                bands = jnp.stack(bands)                # (KB, LYB, bucket)
+                basef = jnp.stack(basefs)               # (KB, 1, 1)
+                for r in range(R):
+                    effj = jnp.minimum(jnp.float32(j0 + r), wsm1v) - halfv
+                    wyj = cy + effj * a22v              # (KB, 1, bucket)
+                    y0f = jnp.floor(wyj)
+                    validyf = ((y0f >= 0)
+                               & (y0f < H - 1)).astype(jnp.float32)
+                    Ey = jnp.maximum(
+                        0.0,
+                        1.0 - jnp.abs(iota_lyb - (wyj - r0fv - basef))
+                    ) * validyf
+                    # per-row size-1 dynamic stores (the only dynamic
+                    # sublane-store shape proven to lower on hardware)
+                    wsbuf[:, pl.ds(j0 + r, 1), :] = jnp.sum(
+                        Ey * bands, axis=1, keepdims=True)
+                    badacc[:] = jnp.maximum(badacc[:],
+                                            1.0 - validyf * vxf)
+                return carry
+
+            return row_fast
 
         def row_full(j, carry):
             # shear fallback: accumulate 128-row bands through scratch
             effj = jnp.minimum(jnp.float32(j), wsm1v) - halfv
             wyj = cy + effj * a22v
             y0f = jnp.floor(wyj)
-            fy = wyj - y0f
-            validy = (y0f >= 0) & (y0f < H - 1)
+            validyf = ((y0f >= 0) & (y0f < H - 1)).astype(jnp.float32)
             rowacc[:] = jnp.zeros((KB, 1, bucket), jnp.float32)
             for b0 in range(0, WY, 128):
                 n = min(128, WY - b0)
                 eyb = (jax.lax.broadcasted_iota(
                     jnp.int32, (KB, n, bucket), 1).astype(jnp.float32)
-                    + b0) - (y0f - r0fv)
-                Eyb = onehot(eyb, fy, validy)
+                    + b0) - (wyj - r0fv)
+                Eyb = jnp.maximum(0.0, 1.0 - jnp.abs(eyb)) * validyf
                 rowacc[:] += jnp.sum(
                     Eyb * ysbuf[:, b0:b0 + n, :], axis=1, keepdims=True)
             wsbuf[:, pl.ds(j, 1), :] = rowacc[:]
-            badacc[:] = jnp.maximum(
-                badacc[:], (~(validy & vx)).astype(jnp.float32))
+            badacc[:] = jnp.maximum(badacc[:], 1.0 - validyf * vxf)
             return carry
 
-        # all-keypoints fast/full decision on the scalar core
+        # all-keypoints narrow/fast/full decision on the scalar core
+        narrow_ok = jnp.bool_(True)
         fast_ok = jnp.bool_(True)
         for kb in range(KB):
             wsm1k = jnp.float32(ws_ref[0, 0, kb] - 1)
-            spank = jnp.abs(a21_ref[0, 0, kb]) * wsm1k + 4.0
-            fast_ok = fast_ok & ((spank <= LY - 10)
-                                 | (act_ref[0, 0, kb] == 0))
-        jax.lax.cond(
-            fast_ok,
-            lambda: jax.lax.fori_loop(
-                0, bucket, row_fast, jnp.int32(0)),
-            lambda: jax.lax.fori_loop(
-                0, bucket, row_full, jnp.int32(0)),
-        )
+            spank = (jnp.abs(a21_ref[0, 0, kb]) * wsm1k
+                     + jnp.float32(R - 1) * a22_ref[0, 0, kb] + 4.0)
+            inactive = act_ref[0, 0, kb] == 0
+            narrow_ok = narrow_ok & ((spank <= LYN - 10) | inactive)
+            fast_ok = fast_ok & ((spank <= LY - 10) | inactive)
+        nR = bucketR // R
+        if LYN < LY:
+            jax.lax.cond(
+                narrow_ok,
+                lambda: jax.lax.fori_loop(
+                    0, nR, make_row_fast(LYN), jnp.int32(0)),
+                lambda: jax.lax.cond(
+                    fast_ok,
+                    lambda: jax.lax.fori_loop(
+                        0, nR, make_row_fast(LY), jnp.int32(0)),
+                    lambda: jax.lax.fori_loop(
+                        0, bucket, row_full, jnp.int32(0)),
+                ),
+            )
+        else:
+            jax.lax.cond(
+                fast_ok,
+                lambda: jax.lax.fori_loop(
+                    0, nR, make_row_fast(LY), jnp.int32(0)),
+                lambda: jax.lax.fori_loop(
+                    0, bucket, row_full, jnp.int32(0)),
+            )
 
         # ---- per-keypoint separable blur + subsample ----
         for kb in range(KB):
@@ -263,7 +299,7 @@ def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
                 # materialize every term — 64 MB at bucket 385)
                 padv[0:r_blur, :] = jnp.broadcast_to(
                     wsbuf[kb, 0:1, :], (r_blur, bucket))
-                padv[r_blur:r_blur + bucket, :] = wsbuf[kb]
+                padv[r_blur:r_blur + bucket, :] = wsbuf[kb, 0:bucket, :]
                 padv[r_blur + bucket:, :] = jnp.broadcast_to(
                     wsbuf[kb, bucket - 1:bucket, :], (r_blur, bucket))
                 blurv[:] = taps_ref[0, kb, 0] * padv[0:bucket, :]
@@ -281,23 +317,19 @@ def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
                 # subsample: patch = S @ blurred @ ST
                 ofs = jnp.float32(ws >> 1)
                 k_s = jax.lax.broadcasted_iota(
-                    jnp.int32, (P, bucket), 0).astype(jnp.float32) - half_p
-                pos = ofs + k_s * its
-                p0 = jnp.floor(pos)
-                fs = pos - p0
-                ds = jax.lax.broadcasted_iota(
-                    jnp.int32, (P, bucket), 1).astype(jnp.float32) - p0
-                S = jnp.where(ds == 0, 1.0 - fs,
-                              jnp.where(ds == 1, fs, 0.0))
+                    jnp.int32, (P, 1), 0).astype(jnp.float32) - half_p
+                pos = ofs + k_s * its                   # (P, 1)
+                S = jnp.maximum(0.0, 1.0 - jnp.abs(
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (P, bucket), 1).astype(jnp.float32)
+                    - pos))
                 k_t = jax.lax.broadcasted_iota(
-                    jnp.int32, (bucket, P), 1).astype(jnp.float32) - half_p
-                pos_t = ofs + k_t * its
-                p0t = jnp.floor(pos_t)
-                fst = pos_t - p0t
-                dst = jax.lax.broadcasted_iota(
-                    jnp.int32, (bucket, P), 0).astype(jnp.float32) - p0t
-                ST = jnp.where(dst == 0, 1.0 - fst,
-                               jnp.where(dst == 1, fst, 0.0))
+                    jnp.int32, (1, P), 1).astype(jnp.float32) - half_p
+                pos_t = ofs + k_t * its                 # (1, P)
+                ST = jnp.maximum(0.0, 1.0 - jnp.abs(
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (bucket, P), 0).astype(jnp.float32)
+                    - pos_t))
                 tpatch = jnp.dot(S, blurv[:],
                                  preferred_element_type=jnp.float32,
                                  precision=_HI)
@@ -378,7 +410,8 @@ def patches_pallas(images: jnp.ndarray, bucket: int, act, img_idx, rb, cb,
         ],
         scratch_shapes=[
             pltpu.VMEM((KB, WY, WX), jnp.float32),            # win
-            pltpu.VMEM((KB, bucket, bucket), jnp.float32),    # wsbuf
+            pltpu.VMEM((KB, _round_up(bucket, _ROWS), bucket),
+                       jnp.float32),                          # wsbuf
             pltpu.VMEM((KB, WY, bucket), jnp.float32),        # ysbuf
             pltpu.VMEM((KB, 1, bucket), jnp.float32),         # vxbuf
             pltpu.VMEM((KB, 1, bucket), jnp.float32),         # rowacc

@@ -26,6 +26,21 @@ GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "golden", "data")
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop jitted executables between modules.
+
+    The full suite accumulates hundreds of XLA:CPU executables in one
+    process; past a threshold the CPU backend segfaults inside
+    backend_compile_and_load (reproduced deterministically at test #65
+    with jax 0.9.0 — neither half of the suite alone crashes, so the
+    trigger is cumulative code memory, not any single program).
+    Per-module cache clearing keeps the live-executable count bounded.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def golden_small():
     """200x160 golden pack (full stage dumps, 2 octaves)."""

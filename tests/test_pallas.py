@@ -100,6 +100,46 @@ def test_pallas_affine_matches_xla():
                                   np.asarray(out.iters)[m])
 
 
+def test_pallas_affine_rolled_origin_cap():
+    """Corner case of the lane-rolled window: an image whose padded
+    width equals the DMA superset width (Wp == WINX) forces the aligned
+    origin cap, so keypoints near the right edge exercise the clamped
+    roll (shift > WINX - XL) and its coverage-slack adjustment."""
+    from hesaff_tpu.affine_shape import adapt_flat, sample_window_size, \
+        unclamped_window_size
+    from hesaff_tpu.config import HesaffConfig
+    from hesaff_tpu.ops.pallas_affine import adapt_flat_pallas, \
+        aligned_window
+
+    cfg = HesaffConfig()
+    B, L, H, W = 1, 2, 160, 250
+    win = sample_window_size(cfg, H, W)
+    assert win == unclamped_window_size(cfg)
+    # Wp == WINX: the (Wp - WINX) origin cap is active at 0
+    assert (W + 127) // 128 * 128 == aligned_window(win)[1]
+    rng = np.random.default_rng(7)
+    stacks = jnp.asarray(_smooth_stacks(rng, B, L, H, W))
+    K = 16
+    img_idx = jnp.zeros((K,), jnp.int32)
+    src = jnp.asarray(rng.integers(0, L, K), np.int32)
+    # x far right: semantic origin c0 = clip(x-60, 0, W-win) up to 130,
+    # beyond the 128-lane roll slack
+    x = jnp.asarray(rng.uniform(W - 30, W - 10, K), jnp.float32)
+    y = jnp.asarray(rng.uniform(20, H - 20, K), jnp.float32)
+    s = jnp.asarray(rng.uniform(2.0, 5.0, K), jnp.float32)
+    active = jnp.ones((K,), bool)
+
+    ref = adapt_flat(stacks, img_idx, src, x, y, s, 1.0, cfg, active=active)
+    out = adapt_flat_pallas(stacks, img_idx, src, x, y, s, 1.0, cfg,
+                            active=active, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref.ok), np.asarray(out.ok))
+    m = np.asarray(ref.ok)
+    for f in ("u11", "u12", "u21", "u22"):
+        np.testing.assert_allclose(np.asarray(getattr(ref, f))[m],
+                                   np.asarray(getattr(out, f))[m],
+                                   rtol=1e-4, atol=5e-5)
+
+
 def test_pallas_patches_match_bucket_path():
     """Fused patch kernel (interpret) matches extract_bucket_batch across
     bucket sizes, shear-fallback, and boundary flags."""
