@@ -17,6 +17,84 @@ import numpy as np
 BASELINE_DESC_PER_S = 3900.0
 
 
+def _stage_breakdown(images, cfg, groups, iters=3):
+    """Sync-timed per-stage attribution of one grouped extraction batch.
+
+    Forces a tiny host transfer after each stage (block_until_ready does
+    not reliably block through the axon tunnel), so the sum exceeds the
+    pipelined headline time — this is for attribution, not the metric.
+    """
+    import time
+
+    import jax
+    import numpy as np
+
+    from hesaff_tpu.dist import (
+        _PALLAS_GROUP_MAX,
+        _direct_branch_stage,
+        _group_select_stage,
+        _phase_a_flat,
+        _sift_masked_stage,
+        _tail_select_stage,
+    )
+    from hesaff_tpu.patches import _min_workspace
+
+    import jax.numpy as jnp
+
+    def sync(x):
+        leaf = jax.tree.leaves(x)[0]
+        np.asarray(leaf.reshape(-1)[:1])
+        return x
+
+    def t(name, fn):
+        sync(fn())
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            sync(fn())
+            best = min(best, time.perf_counter() - t0)
+        print(f"# stage {name:24s} {best * 1000:8.1f} ms",
+              file=sys.stderr)
+        return fn()
+
+    flat, levels = t("phase_a",
+                     lambda: _phase_a_flat(images, cfg))
+    ncap = flat["x"].shape[0] // images.shape[0]
+    mixed = (_min_workspace(cfg)
+             <= cfg.oversample_cutoff * cfg.patch_size + 2)
+    Ho, Wo = images.shape[-2], images.shape[-1]
+    prev = 0
+    pieces = []
+    for bsize, bcap in groups:
+        if bsize <= _PALLAS_GROUP_MAX:
+            r = t(f"group_{bsize}_cap{bcap}",
+                  lambda b=bsize, c=bcap, p=prev: _group_select_stage(
+                      images, flat, cfg, b, c, p, ncap, mixed))
+        else:
+            ps = 2.0
+            while 2 * ((bsize - 2 + 2 * ps - 1) // (2 * ps)) + 3 \
+                    > _PALLAS_GROUP_MAX:
+                ps *= 2.0
+            octave = int(round(np.log2(ps)))
+            src = levels[octave - 1]
+            bucket_src = int(2 * -(-(bsize - 2) // (2 * ps)) + 3)
+            r = t(f"tail_{bsize}_cap{bcap}",
+                  lambda b=bsize, c=bcap, p=prev, s=src, pp=ps,
+                         bs=bucket_src: _tail_select_stage(
+                      s, flat, cfg, b, c, p, ncap, pp, bs, (Ho, Wo)))
+        pieces.append(r)
+        prev = bsize
+    if mixed:
+        dcap = max(64, groups[0][1] // 4)
+        pieces.append(t("direct",
+                        lambda: _direct_branch_stage(images, flat, cfg,
+                                                     dcap, ncap)))
+    import jax.numpy as jnp
+    patches = jnp.concatenate([p[0] for p in pieces])
+    pvalid = jnp.concatenate([p[1] for p in pieces])
+    t("sift", lambda: _sift_masked_stage(patches, pvalid, cfg))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -26,6 +104,10 @@ def main():
     ap.add_argument("--height", type=int, default=640)
     ap.add_argument("--cap", type=int, default=1024,
                     help="per-image keypoint capacity for bucket sizing")
+    ap.add_argument("--stages", action="store_true",
+                    help="print a sync-timed per-stage breakdown first "
+                         "(adds tunnel latency; headline numbers stay "
+                         "pipelined)")
     args = ap.parse_args()
 
     import jax
@@ -84,6 +166,9 @@ def main():
     out = step(images)
     jax.block_until_ready(out)
     t_compile = time.perf_counter() - t0
+
+    if args.stages and on_tpu:
+        _stage_breakdown(images, cfg, groups)
 
     n_desc = int(np.asarray(out.valid).sum())
     overflow = int(np.asarray(out.overflow))

@@ -244,11 +244,17 @@ def _sift_masked(patches, active, cfg: HesaffConfig, chunk: int = 1024):
     pc = patches.reshape(n, chunk, *patches.shape[1:])
     ac = active.reshape(n, chunk)
 
+    if cfg.use_pallas and jax.default_backend() == "tpu":
+        from hesaff_tpu.ops.pallas_sift import sift_descriptors_pallas
+        describe = sift_descriptors_pallas
+    else:
+        describe = sift_descriptors
+
     def body(args):
         p, a = args
         return jax.lax.cond(
             jnp.any(a),
-            lambda: sift_descriptors(p, cfg).astype(jnp.uint8),
+            lambda: describe(p, cfg).astype(jnp.uint8),
             lambda: jnp.zeros((chunk, 128), jnp.uint8),
         )
 

@@ -184,6 +184,31 @@ def test_pallas_patches_match_bucket_path():
                                        np.asarray(pk)[m], atol=1e-3)
 
 
+def test_pallas_sift_matches_xla():
+    """Fused SIFT kernel (interpret, transposed lane-packed layout)
+    matches sift_descriptors to <=1 quantization step (reduction-order
+    float drift only), including non-multiple-of-128 K and the
+    orientation-bin permutation."""
+    from hesaff_tpu.config import HesaffConfig
+    from hesaff_tpu.ops.pallas_sift import sift_descriptors_pallas
+    from hesaff_tpu.sift import sift_descriptors
+
+    cfg = HesaffConfig()
+    rng = np.random.default_rng(5)
+    K, P = 150, cfg.patch_size
+    base = _smooth_stacks(rng, 1, K, P, P)[0]
+    patches = jnp.asarray(np.clip(base, 0, 255))
+
+    ref = np.asarray(sift_descriptors(patches, cfg)).astype(np.int32)
+    out = np.asarray(sift_descriptors_pallas(patches, cfg,
+                                             interpret=True)
+                     ).astype(np.int32)
+    assert out.shape == ref.shape
+    diff = np.abs(ref - out)
+    assert diff.max() <= 1, diff.max()
+    assert (diff == 0).mean() > 0.99
+
+
 def test_grouped_extraction_matches_staged():
     """extraction_step_grouped (fused Pallas phase B, interpret) produces
     the same keypoints and descriptors as the per-bucket staged path."""
