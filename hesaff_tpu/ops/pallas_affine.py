@@ -60,6 +60,13 @@ _KB = 8
 # select matmul (fallback if tpu.DynamicRotate fails to lower)
 _USE_ROLL = True
 
+# run the KB keypoints of a grid step in LOCKSTEP (one while_loop whose
+# body holds KB independent sampling chains the scheduler can overlap)
+# instead of KB sequential per-keypoint loops with early exit.  Trades
+# extra masked iterations (the block runs to its max) for latency
+# hiding of each chain's sample->SMM->update dependency.
+_LOCKSTEP = False
+
 
 def _round_up(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
@@ -292,6 +299,197 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int):
     return kernel
 
 
+def _make_kernel_lockstep(WIN: int, H: int, W: int, cfg: HesaffConfig,
+                          KB: int):
+    """Lockstep variant: one while_loop over iterations, all KB
+    keypoints advancing together with masked updates.  Same per-
+    keypoint arithmetic as _make_kernel (bit-identical trajectories;
+    no early exit, so a block runs to its slowest member)."""
+    G = cfg.smm_window_size
+    N = G * G
+    half = G >> 1
+    mask_pixels = float(N)
+    WINY, WINX = aligned_window(WIN)
+    XL = _round_up(WIN, 128)
+
+    def kernel(src_ref, rb_ref, cb_ref, act_ref, lx_ref, ly_ref, ratio_ref,
+               stack_ref, mask_ref, aj_ref, bi_ref,
+               ok_ref, u11_ref, u12_ref, u21_ref, u22_ref, iters_ref,
+               wnd, whb, wlb, sems):
+        def dma(kb):
+            return pltpu.make_async_copy(
+                stack_ref.at[src_ref[0, 0, kb],
+                             pl.ds(rb_ref[0, 0, kb] * 8, WINY),
+                             pl.ds(cb_ref[0, 0, kb] * 128, WINX)],
+                wnd.at[kb],
+                sems.at[kb],
+            )
+
+        for kb in range(KB):
+            @pl.when(act_ref[0, 0, kb] != 0)
+            def _():
+                dma(kb).start()
+
+        p_col = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+        jj = p_col // G
+        j_col = (jj - half).astype(jnp.float32)
+        i_col = (p_col - jj * G - half).astype(jnp.float32)
+        iota_y = jax.lax.broadcasted_iota(
+            jnp.int32, (N, WINY), 1).astype(jnp.float32)
+        iota_x = jax.lax.broadcasted_iota(
+            jnp.int32, (N, XL), 1).astype(jnp.float32)
+
+        # prologue: per-keypoint rolled window bf16 split into scratch,
+        # per-keypoint loop-invariant scalars
+        r8f = []
+        r0o = []
+        c0o = []
+        corig = []
+        lxs = []
+        lys = []
+        ratio_v = []
+        for kb in range(KB):
+            lx = lx_ref[0, 0, kb]
+            ly = ly_ref[0, 0, kb]
+            lxs.append(lx)
+            lys.append(ly)
+            ratio_v.append(jnp.full((1, 1), ratio_ref[0, 0, kb]))
+            r8f.append(jnp.float32(rb_ref[0, 0, kb] * 8))
+            r0o.append(jnp.float32(jnp.clip(
+                ly.astype(jnp.int32) - WIN // 2, 0, H - WIN)))
+            c0i = jnp.clip(lx.astype(jnp.int32) - WIN // 2, 0, W - WIN)
+            c0o.append(jnp.float32(c0i))
+            shift = jnp.minimum(c0i - cb_ref[0, 0, kb] * 128, WINX - XL)
+            corig.append(jnp.float32(cb_ref[0, 0, kb] * 128 + shift))
+
+            @pl.when(act_ref[0, 0, kb] != 0)
+            def _(kb=kb, shift=shift):
+                dma(kb).wait()
+                wr = pltpu.roll(wnd[kb], -shift, axis=1)[:, :XL]
+                wh = wr.astype(jnp.bfloat16)
+                whb[kb] = wh
+                wlb[kb] = (wr - wh.astype(jnp.float32)
+                           ).astype(jnp.bfloat16)
+
+            @pl.when(act_ref[0, 0, kb] == 0)
+            def _(kb=kb):
+                whb[kb] = jnp.zeros((WINY, XL), jnp.bfloat16)
+                wlb[kb] = jnp.zeros((WINY, XL), jnp.bfloat16)
+
+        act0 = jnp.stack([
+            jnp.full((1, 1), act_ref[0, 0, kb] != 0) for kb in range(KB)
+        ])                                               # (KB, 1, 1)
+
+        def cond(state):
+            return jnp.any(state[5]) & (state[9] < cfg.max_iterations)
+
+        def body(state):
+            (u11, u12, u21, u22, ratio_bef, alive, converged,
+             conv_iter, violated, it) = state
+            a_l, b_l, c_l, ow_l = [], [], [], []
+            for kb in range(KB):
+                a11r = u11[kb] * ratio_v[kb]
+                a12r = u12[kb] * ratio_v[kb]
+                a21r = u21[kb] * ratio_v[kb]
+                a22r = u22[kb] * ratio_v[kb]
+                wy = lys[kb] + i_col * a21r + j_col * a22r
+                wx = lxs[kb] + i_col * a11r + j_col * a12r
+                y0f = jnp.floor(wy)
+                x0f = jnp.floor(wx)
+                validf = ((x0f >= 0) & (x0f < W - 1)
+                          & (y0f >= 0)
+                          & (y0f < H - 1)).astype(jnp.float32)
+                Ey = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(iota_y - (wy - r8f[kb])))
+                Ex = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(iota_x - (wx - corig[kb]))
+                ) * validf
+                eh = Ey.astype(jnp.bfloat16)
+                el = (Ey - eh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+                def d(p, q):
+                    return jax.lax.dot_general(
+                        p, q, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+
+                t = d(eh, whb[kb]) + d(eh, wlb[kb]) + d(el, whb[kb])
+                val = jnp.sum(t * Ex, axis=1, keepdims=True)
+                img = jnp.dot(aj_ref[:], val * bi_ref[:],
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+                ow = ((y0f - r0o[kb] < 0) | (y0f - r0o[kb] > WIN - 2)
+                      | (x0f - c0o[kb] < 0) | (x0f - c0o[kb] > WIN - 2))
+                ow_l.append(jnp.any((validf > 0) & ow, axis=0,
+                                    keepdims=True))
+                gx = jnp.concatenate(
+                    [img[:, 1:2] - img[:, 0:1],
+                     img[:, 2:] - img[:, :-2],
+                     img[:, -1:] - img[:, -2:-1]], axis=1)
+                gy = jnp.concatenate(
+                    [img[1:2, :] - img[0:1, :],
+                     img[2:, :] - img[:-2, :],
+                     img[-1:, :] - img[-2:-1, :]], axis=0)
+                msk = mask_ref[:]
+                s11 = lambda z: jnp.sum(z, axis=(0, 1), keepdims=True)
+                a_l.append(s11(gx * gx * msk) / mask_pixels)
+                b_l.append(s11(gx * gy * msk) / mask_pixels)
+                c_l.append(s11(gy * gy * msk) / mask_pixels)
+
+            a = jnp.stack(a_l)                           # (KB, 1, 1)
+            b = jnp.stack(b_l)
+            c = jnp.stack(c_l)
+            oww = jnp.stack(ow_l)
+            violated = violated | (alive & oww)
+
+            ia, ib, ic, il1, il2 = inv_sqrt_2x2(a, b, c)
+            ratio_act = 1.0 - il2 / il1
+            n11 = ia * u11 + ib * u21
+            n12 = ia * u12 + ib * u22
+            n21 = ib * u11 + ic * u21
+            n22 = ib * u12 + ic * u22
+            l1, l2, is_real = eigenvalues_2x2(n11, n12, n21, n22)
+            aniso_bad = ((~is_real)
+                         | (l1 / l2 > cfg.anisotropy_max)
+                         | (l2 / l1 > cfg.anisotropy_max))
+            just_conv = ((ratio_act < cfg.convergence_threshold)
+                         & (ratio_bef < cfg.convergence_threshold)
+                         & ~aniso_bad & alive)
+            # masked updates: frozen (converged/dead) keypoints keep
+            # their state — matches the per-keypoint early exit
+            upd = lambda n, u: jnp.where(alive, n, u)
+            conv_iter = jnp.where(just_conv, it, conv_iter)
+            converged = converged | just_conv
+            ratio_bef = jnp.where(alive, ratio_act, ratio_bef)
+            state = (upd(n11, u11), upd(n12, u12), upd(n21, u21),
+                     upd(n22, u22), ratio_bef,
+                     alive & ~aniso_bad & ~just_conv,
+                     converged, conv_iter, violated, it + 1)
+            return state
+
+        z11 = jnp.zeros((KB, 1, 1), jnp.float32)
+        init = (z11 + 1.0, z11, z11, z11 + 1.0, z11,
+                act0,
+                jnp.zeros((KB, 1, 1), bool),
+                jnp.zeros((KB, 1, 1), jnp.int32),
+                jnp.zeros((KB, 1, 1), bool), jnp.int32(0))
+        (u11, u12, u21, u22, _, _, converged, conv_iter,
+         violated, _) = jax.lax.while_loop(cond, body, init)
+        okv = converged & ~violated & (act0)
+        for kb in range(KB):
+            ok_ref[0, 0, kb] = jnp.any(okv[kb]).astype(jnp.int32)
+            u11_ref[0, 0, kb] = jnp.sum(
+                jnp.where(act0[kb], u11[kb], 0.0))
+            u12_ref[0, 0, kb] = jnp.sum(
+                jnp.where(act0[kb], u12[kb], 0.0))
+            u21_ref[0, 0, kb] = jnp.sum(
+                jnp.where(act0[kb], u21[kb], 0.0))
+            u22_ref[0, 0, kb] = jnp.sum(
+                jnp.where(act0[kb], u22[kb], 0.0))
+            iters_ref[0, 0, kb] = jnp.sum(conv_iter[kb])
+
+    return kernel
+
+
 def _call_kernel(stack, src, rb, cb, act, lx, ly, ratio, win, H, W,
                  cfg: HesaffConfig, interpret: bool):
     S, Hp, Wp = stack.shape
@@ -303,7 +501,16 @@ def _call_kernel(stack, src, rb, cb, act, lx, ly, ratio, win, H, W,
     msk = jnp.asarray(masks.smm_gauss_mask(G))
     WINY, WINX = aligned_window(win)
 
-    kernel = _make_kernel(win, H, W, cfg, _KB)
+    XL = _round_up(win, 128)
+    if _LOCKSTEP:
+        kernel = _make_kernel_lockstep(win, H, W, cfg, _KB)
+        extra_scratch = [
+            pltpu.VMEM((_KB, WINY, XL), jnp.bfloat16),   # whb
+            pltpu.VMEM((_KB, WINY, XL), jnp.bfloat16),   # wlb
+        ]
+    else:
+        kernel = _make_kernel(win, H, W, cfg, _KB)
+        extra_scratch = []
     grid = (K // _KB,)
     # scalars ride as (G, 1, KB) blocks — trailing block dims equal the
     # array dims, the only blocked-SMEM layout Mosaic accepts
@@ -338,6 +545,7 @@ def _call_kernel(stack, src, rb, cb, act, lx, ly, ratio, win, H, W,
         ],
         scratch_shapes=[
             pltpu.VMEM((_KB, WINY, WINX), jnp.float32),
+            *extra_scratch,
             pltpu.SemaphoreType.DMA((_KB,)),
         ],
         interpret=interpret,

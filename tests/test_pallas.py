@@ -100,6 +100,52 @@ def test_pallas_affine_matches_xla():
                                   np.asarray(out.iters)[m])
 
 
+def test_pallas_affine_lockstep_matches_xla():
+    """The lockstep kernel variant (one while_loop, masked updates)
+    produces the same ok/U/iters as the per-keypoint-loop variant's
+    reference path."""
+    import jax
+
+    from hesaff_tpu.affine_shape import adapt_flat
+    from hesaff_tpu.config import HesaffConfig
+    from hesaff_tpu.ops import pallas_affine
+
+    cfg = HesaffConfig()
+    rng = np.random.default_rng(1)
+    B, L, H, W = 2, 2, 200, 160
+    stacks = jnp.asarray(_smooth_stacks(rng, B, L, H, W))
+    K = 32
+    img_idx = jnp.asarray(rng.integers(0, B, K), np.int32)
+    src = jnp.asarray(rng.integers(0, L, K), np.int32)
+    x = jnp.asarray(rng.uniform(20, W - 20, K), jnp.float32)
+    y = jnp.asarray(rng.uniform(20, H - 20, K), jnp.float32)
+    s = jnp.asarray(rng.uniform(2.0, 5.0, K), jnp.float32)
+    active = jnp.asarray(rng.uniform(size=K) > 0.2)
+
+    ref = adapt_flat(stacks, img_idx, src, x, y, s, 1.0, cfg, active=active)
+    old = pallas_affine._LOCKSTEP
+    pallas_affine._LOCKSTEP = True
+    jax.clear_caches()   # the flag is read at trace time
+    try:
+        out = pallas_affine.adapt_flat_pallas(
+            stacks, img_idx, src, x, y, s, 1.0, cfg,
+            active=active, interpret=True)
+    finally:
+        pallas_affine._LOCKSTEP = old
+        jax.clear_caches()
+    act = np.asarray(active)
+    ro = np.asarray(ref.ok) & act
+    po = np.asarray(out.ok) & act
+    np.testing.assert_array_equal(ro, po)
+    m = ro & po
+    for f in ("u11", "u12", "u21", "u22"):
+        np.testing.assert_allclose(np.asarray(getattr(ref, f))[m],
+                                   np.asarray(getattr(out, f))[m],
+                                   rtol=1e-4, atol=5e-5)
+    np.testing.assert_array_equal(np.asarray(ref.iters)[m],
+                                  np.asarray(out.iters)[m])
+
+
 def test_pallas_affine_rolled_origin_cap():
     """Corner case of the lane-rolled window: an image whose padded
     width equals the DMA superset width (Wp == WINX) forces the aligned
