@@ -43,6 +43,7 @@ operands are multiples of one scale with sums below 2^24.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -58,14 +59,14 @@ _KB = 8
 
 # narrow the window with a dynamic lane roll (cheap) vs an exact 0/1
 # select matmul (fallback if tpu.DynamicRotate fails to lower)
-_USE_ROLL = True
+_USE_ROLL = os.environ.get("HESAFF_AFFINE_NO_ROLL", "0") != "1"
 
 # run the KB keypoints of a grid step in LOCKSTEP (one while_loop whose
 # body holds KB independent sampling chains the scheduler can overlap)
 # instead of KB sequential per-keypoint loops with early exit.  Trades
 # extra masked iterations (the block runs to its max) for latency
 # hiding of each chain's sample->SMM->update dependency.
-_LOCKSTEP = False
+_LOCKSTEP = os.environ.get("HESAFF_AFFINE_LOCKSTEP", "0") == "1"
 
 
 def _round_up(v: int, m: int) -> int:
