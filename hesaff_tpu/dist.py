@@ -470,16 +470,13 @@ def extraction_step_grouped(images, cfg: HesaffConfig,
     )
 
 
-def extraction_step_staged(images, cfg: HesaffConfig,
-                           buckets: Sequence[tuple]) -> DenseFeatures:
-    """Same result as extraction_step but as a chain of small jits.
+def _phase_b_staged(images, flat, cfg: HesaffConfig,
+                    buckets: Sequence[tuple]) -> DenseFeatures:
+    """Phase B (bucketed patch extraction + SIFT) from phase-A outputs.
 
-    All intermediates stay on device (async dispatch chains without host
-    syncs), so the tunnel round-trip cost stays at one upload + one
-    download — while compile cost is a set of small, individually
-    cached programs instead of one giant HLO.
-    """
-    flat, _ = _phase_a_flat(images, cfg)
+    Shared by extraction_step_staged (same-device chaining) and the
+    pipeline-parallel extractor (where it runs on the stage-1 device
+    group).  Platform-agnostic XLA path."""
     ncap = flat["x"].shape[0] // images.shape[0]  # static per-image slots
     overflow = flat["overflow"]
     pieces = []
@@ -513,6 +510,94 @@ def extraction_step_staged(images, cfg: HesaffConfig,
         response=fields["response"], type=fields["type"],
         desc=descs, overflow=overflow + mr_scale_ws_over,
     )
+
+
+def extraction_step_staged(images, cfg: HesaffConfig,
+                           buckets: Sequence[tuple]) -> DenseFeatures:
+    """Same result as extraction_step but as a chain of small jits.
+
+    All intermediates stay on device (async dispatch chains without host
+    syncs), so the tunnel round-trip cost stays at one upload + one
+    download — while compile cost is a set of small, individually
+    cached programs instead of one giant HLO.
+    """
+    flat, _ = _phase_a_flat(images, cfg)
+    return _phase_b_staged(images, flat, cfg, buckets)
+
+
+class PipelinedExtractor:
+    """2-stage pipeline-parallel extraction over a (stage x data) device
+    grid (SURVEY.md §2.2 "PP" row — net-new; the reference is
+    single-threaded).
+
+    Stage 0 devices run phase A (pyramid + DoH detection + affine
+    adaptation); stage 1 devices run phase B (patch normalization +
+    SIFT).  Within each stage, images shard over a ("data",) mesh axis.
+    Microbatch t's phase-A outputs (per-keypoint scalars — tiny relative
+    to images) reshard to the stage-1 group via `jax.device_put`, which
+    XLA lowers to a device-to-device copy riding ICI; async dispatch
+    keeps both groups busy on consecutive microbatches without any host
+    round-trip between stages.
+
+    This is the idiomatic JAX expression of heterogeneous-stage PP:
+    placement + async streams, not ppermute (ppermute-rotation PP fits
+    homogeneous repeated stages, e.g. transformer layers).  For this
+    workload pure DP is usually preferred (both phases scale with image
+    count); PP exists for serving topologies where the two phases have
+    imbalanced resource profiles (e.g. phase B batching keypoints across
+    many phase-A feeders) — and to complete the parallelism matrix.
+    """
+
+    def __init__(self, cfg: HesaffConfig, buckets: Sequence[tuple],
+                 devices=None, data_parallel: int = 1):
+        devs = list(jax.devices()) if devices is None else list(devices)
+        if len(devs) < 2 * data_parallel:
+            raise ValueError(
+                f"pipeline needs 2*{data_parallel} devices, "
+                f"have {len(devs)}")
+        self.cfg = cfg
+        self.buckets = tuple(buckets)
+        self.mesh_a = Mesh(np.asarray(devs[:data_parallel]), ("data",))
+        self.mesh_b = Mesh(
+            np.asarray(devs[data_parallel:2 * data_parallel]), ("data",))
+        self._sh_img_a = NamedSharding(self.mesh_a, P("data", None, None))
+        self._sh_img_b = NamedSharding(self.mesh_b, P("data", None, None))
+        self._sh_flat_b = NamedSharding(self.mesh_b, P())
+
+        cfg_ = cfg
+        self._step_a = jax.jit(
+            lambda im: _phase_a_flat(im, cfg_)[0],
+            in_shardings=(self._sh_img_a,))
+        bks = self.buckets
+        self._step_b = jax.jit(
+            lambda im, flat: _phase_b_staged(im, flat, cfg_, bks),
+            # single sharding = pytree prefix: applies to every flat leaf
+            in_shardings=(self._sh_img_b, self._sh_flat_b))
+
+    def __call__(self, batches, depth: int = 2):
+        """Stream microbatches through the pipeline.
+
+        batches: iterable of (B, H, W) float32 arrays (same static
+        shape).  Yields one DenseFeatures per microbatch, in order.
+        `depth` bounds in-flight microbatches (2 = classic double
+        buffering: stage 1 works on t while stage 0 works on t+1).
+        """
+        inflight = []
+        for imgs in batches:
+            im_a = jax.device_put(jnp.asarray(imgs), self._sh_img_a)
+            flat = self._step_a(im_a)
+            # stage handoff: keypoint scalars + images hop to the
+            # stage-1 group (ICI device-to-device, no host round-trip)
+            flat_b = jax.device_put(flat, self._sh_flat_b)
+            im_b = jax.device_put(im_a, self._sh_img_b)
+            inflight.append(self._step_b(im_b, flat_b))
+            while len(inflight) > depth:
+                out = inflight.pop(0)
+                jax.block_until_ready(out)
+                yield out
+        for out in inflight:
+            jax.block_until_ready(out)
+            yield out
 
 
 def init_multihost(coordinator: str | None = None,

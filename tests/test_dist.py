@@ -144,3 +144,28 @@ def test_padded_extraction_matches_unpadded(golden_small):
             matched += 1
             assert abs(f1.s[j] - f0.s[i]) < 0.05 * f0.s[i] + 1e-3
     assert matched >= 0.97 * f0.n
+
+
+def test_pipelined_extraction_matches_staged():
+    """2-stage (phase A | phase B) pipeline parallelism over a 2x2
+    device grid equals the single-group staged step, microbatch by
+    microbatch (SURVEY.md §2.2 PP row)."""
+    from hesaff_tpu.dist import PipelinedExtractor, extraction_step_staged
+
+    imgs = _images(n=4, h=96, w=96, seed=11)
+    buckets = default_bucket_spec(96, 96, CFG, per_image_cap=256, batch=2)
+    pipe = PipelinedExtractor(CFG, buckets, data_parallel=2)
+    batches = [imgs[:2], imgs[2:]]
+    outs = list(pipe(batches))
+    assert len(outs) == 2
+    for mb, out in zip(batches, outs):
+        ref = extraction_step_staged(jnp.asarray(mb), CFG, buckets)
+        assert np.array_equal(np.asarray(out.valid), np.asarray(ref.valid))
+        v = np.asarray(ref.valid)
+        for f in ("x", "y", "s", "a11", "a21", "a22", "response"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(out, f))[v],
+                np.asarray(getattr(ref, f))[v], rtol=0, atol=1e-5)
+        assert np.array_equal(np.asarray(out.desc)[v],
+                              np.asarray(ref.desc)[v])
+        assert int(out.overflow) == int(ref.overflow)
