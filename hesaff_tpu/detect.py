@@ -17,6 +17,7 @@ candidate survives.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -25,6 +26,11 @@ import jax.numpy as jnp
 from hesaff_tpu.config import HesaffConfig
 from hesaff_tpu.ops.batching import compact_indices
 from hesaff_tpu.ops.linalg import solve3x3
+
+# fused Pallas candidate-mask + localization-maps kernel (TPU); the
+# stencil/solve chain otherwise round-trips dozens of (H, W)
+# intermediates through HBM.  Env-gated until validated on-chip.
+_DETECT_PALLAS = os.environ.get("HESAFF_DETECT_PALLAS", "0") == "1"
 
 HESSIAN_DARK = 0
 HESSIAN_BRIGHT = 1
@@ -285,10 +291,27 @@ def detect_level(low, cur, high, blur, cur_scale: float,
     3x3x3 gathers + solves were the detection hot spot on TPU.
     """
     H, W = cur.shape
-    mask = candidate_mask(low, cur, high, cfg, valid_hw=valid_hw)
-    rows, cols, valid, overflow = compact_candidates(mask, capacity)
-    maps, edge_bad = _localization_maps(low, cur, high, cfg)
-    allm = _pack_walk_channels(maps, edge_bad, blur)
+    if (_DETECT_PALLAS and cfg.use_pallas
+            and jax.default_backend() == "tpu"):
+        from hesaff_tpu.ops.pallas_detect import detect_maps_pallas
+
+        maps, nanf, edgef, mask = detect_maps_pallas(
+            low, cur, high, cfg.border, cfg.positive_threshold,
+            cfg.negative_threshold, cfg.edge_score_threshold)
+        if valid_hw is not None:
+            b = cfg.border
+            rr = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+            cc = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+            mask = mask & (rr < valid_hw[0] - b) & (cc < valid_hw[1] - b)
+        allm = jnp.stack(
+            [maps[..., 0], maps[..., 1], maps[..., 2], maps[..., 3],
+             nanf, edgef, blur, jnp.zeros_like(blur)], axis=-1)
+        rows, cols, valid, overflow = compact_candidates(mask, capacity)
+    else:
+        mask = candidate_mask(low, cur, high, cfg, valid_hw=valid_hw)
+        rows, cols, valid, overflow = compact_candidates(mask, capacity)
+        maps, edge_bad = _localization_maps(low, cur, high, cfg)
+        allm = _pack_walk_channels(maps, edge_bad, blur)
 
     loc = jax.vmap(
         lambda r, c: _walk_one(

@@ -26,6 +26,18 @@ def solve3x3(A, b):
     """
     a = [[A[..., i, j] for j in range(3)] for i in range(3)]
     bb = [b[..., i] for i in range(3)]
+    x0, x1, x2 = solve3x3_parts(a, bb)
+    return jnp.stack([x0, x1, x2], axis=-1)
+
+
+def solve3x3_parts(a, bb):
+    """solve3x3 on unstacked entries: a = 3x3 nested list of arrays,
+    bb = list of 3 arrays -> (x0, x1, x2).
+
+    Shared by the dense XLA localization maps and the fused Pallas
+    detect kernel (which cannot afford the (..., 3, 3) stack) — one
+    arithmetic definition, bit-identical numerics on both paths.
+    """
 
     def pick(cond, xs, ys):
         return [jnp.where(cond, x, y) for x, y in zip(xs, ys)]
@@ -66,7 +78,7 @@ def solve3x3(A, b):
     x2 = b2n / r22
     x1 = (b1n - r1[1] * x2) / r1[0]
     x0 = (b0 - row0[2] * x2 - row0[1] * x1) / row0[0]
-    return jnp.stack([x0, x1, x2], axis=-1)
+    return x0, x1, x2
 
 
 def inv_sqrt_2x2(a, b, c):

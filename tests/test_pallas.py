@@ -349,3 +349,64 @@ def test_scaled_tail_matches_fullres_descriptors():
     l1 = np.abs(d_ref[m] - d_new[m]).mean(axis=1)
     assert l1.mean() < 1.5, l1
     assert l1.max() < 4.0, l1
+
+
+def test_detect_maps_pallas_matches_xla(request):
+    """Fused NMS + localization-maps kernel == the XLA pair
+    (candidate_mask, _localization_maps + pack channels), on real
+    golden octave responses spanning several row blocks."""
+    from hesaff_tpu.config import HesaffConfig
+    from hesaff_tpu.detect import (_localization_maps,
+                                   _pack_walk_channels, candidate_mask)
+    from hesaff_tpu.ops.pallas_detect import detect_maps_pallas
+
+    cfg = HesaffConfig()
+    d = np.load(os.path.join(os.path.dirname(__file__), "golden", "data",
+                             "synth_200x160.npz"))
+    low, cur, high = (jnp.asarray(d[f"oct0_resp{i}"]) for i in (0, 1, 2))
+    blur = jnp.asarray(d["oct0_blur1"])
+
+    maps, nanf, edgef, mask = detect_maps_pallas(
+        low, cur, high, cfg.border, cfg.positive_threshold,
+        cfg.negative_threshold, cfg.edge_score_threshold, interpret=True)
+
+    ref_mask = candidate_mask(low, cur, high, cfg)
+    ref_maps, ref_edge = _localization_maps(low, cur, high, cfg)
+    ref_pack = _pack_walk_channels(ref_maps, ref_edge, blur)
+
+    assert np.array_equal(np.asarray(mask), np.asarray(ref_mask))
+    np.testing.assert_array_equal(np.asarray(nanf),
+                                  np.asarray(ref_pack[..., 4]))
+    np.testing.assert_array_equal(np.asarray(edgef),
+                                  np.asarray(ref_pack[..., 5]))
+    # maps: same arithmetic definition, but the two compilation paths
+    # differ by an ulp and the solve amplifies that on near-singular
+    # (rejected-downstream) pixels — gate on (a) bulk closeness and
+    # (b) DECISION equivalence: the walk over both packs accepts the
+    # same keypoints at the same refined positions
+    a = np.asarray(maps)
+    r = np.asarray(ref_pack[..., :4])
+    close = np.isclose(a, r, rtol=1e-4, atol=1e-4).all(axis=-1)
+    assert close.mean() > 0.995
+
+    from hesaff_tpu.detect import _walk_one, compact_candidates
+    import jax
+
+    H, W = np.asarray(cur).shape
+    pack = jnp.stack([maps[..., 0], maps[..., 1], maps[..., 2],
+                      maps[..., 3], nanf, edgef, blur,
+                      jnp.zeros_like(blur)], axis=-1)
+    rows, cols, valid, _ = compact_candidates(ref_mask, 512)
+    walk = jax.vmap(lambda rr, cc, al: _walk_one(
+        al, rr, cc, jnp.float32(2.0), jnp.float32(1.0), H, W, cfg),
+        in_axes=(0, 0, None))
+    outs_p = [np.asarray(o) for o in walk(rows, cols, pack)]
+    outs_x = [np.asarray(o) for o in walk(rows, cols, ref_pack)]
+    v = np.asarray(valid)
+    agree = outs_p[0][v] == outs_x[0][v]
+    assert agree.mean() > 0.99
+    both = v.copy()
+    both[v] &= outs_p[0][v] & outs_x[0][v] & agree
+    for i in (1, 2, 3):   # x, y, s of accepted keypoints
+        np.testing.assert_allclose(outs_p[i][both], outs_x[i][both],
+                                   rtol=1e-3, atol=1e-3)
