@@ -104,6 +104,13 @@ def main():
     ap.add_argument("--height", type=int, default=640)
     ap.add_argument("--cap", type=int, default=1024,
                     help="per-image keypoint capacity for bucket sizing")
+    ap.add_argument("--cand-div", type=int, default=128,
+                    help="candidate_cap_div (bigger = tighter per-level "
+                         "walk capacities; overflow is reported, tune "
+                         "until 0)")
+    ap.add_argument("--affine-div", type=int, default=256,
+                    help="affine_cap_div (bigger = tighter per-octave "
+                         "affine capacities)")
     ap.add_argument("--stages", action="store_true",
                     help="print a sync-timed per-stage breakdown first "
                          "(adds tunnel latency; headline numbers stay "
@@ -143,6 +150,8 @@ def main():
     cfg = HesaffConfig(
         candidate_cap_max=8192,
         affine_cap_max=8192,
+        candidate_cap_div=args.cand_div,
+        affine_cap_div=args.affine_div,
     )
     rng_imgs = [
         gen_images.synth_image(args.width, args.height, seed=s)
