@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from hesaff_tpu.config import DEFAULT_CONFIG, HesaffConfig
-from hesaff_tpu.detect import compact_levels, dedup_octave, detect_level
+from hesaff_tpu.detect import (compact_levels, dedup_octave, detect_level,
+                               detect_octave_batch)
 from hesaff_tpu.ops.linalg import rectify_up_is_up
 from hesaff_tpu.patches import (
     BUCKET_SIZES,
@@ -103,17 +104,13 @@ def detect_affine_batch(images: jnp.ndarray, cfg: HesaffConfig,
             return o.blurs, o.resps, o.next_first
 
         blurs, resps, nxt = jax.vmap(oct_fn)(cur)
-        if vhw is None:
-            comp = jax.vmap(
-                lambda r, b: _detect_one_octave(r, b, sig, pd, cfg,
-                                                octave=octave)
-            )(resps, blurs)
-        else:
-            comp = jax.vmap(
-                lambda r, b, v: _detect_one_octave(r, b, sig, pd, cfg,
-                                                   valid_hw=v,
-                                                   octave=octave)
-            )(resps, blurs, vhw)
+        # flat cross-image walks: per-level capacities are worst-case
+        # sized, so per-image walk slots are ~90% padding — the batch
+        # path compacts candidates of all images/levels together and
+        # runtime-skips the padding chunks (detect.detect_octave_batch)
+        comp = detect_octave_batch(resps, blurs, sig, pd, cfg,
+                                   octave=octave, valid_hw=vhw)
+        if vhw is not None:
             # the true pyramid halves dims per octave (halfImage
             # floor-divides; floors compose: h//2//2 == h//4)
             vhw = vhw // 2

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from hesaff_tpu.config import HesaffConfig
-from hesaff_tpu.ops.batching import compact_indices
+from hesaff_tpu.ops.batching import chunked_vmap, compact_indices
 from hesaff_tpu.ops.linalg import solve3x3
 
 # fused Pallas candidate-mask + localization-maps kernel (TPU); the
@@ -183,6 +183,18 @@ def _pack_walk_channels(maps, edge_bad, blur):
          blur, jnp.zeros_like(blur)], axis=-1)
 
 
+def _window_starts(r0, c0, rows, cols, cfg: HesaffConfig):
+    """Top-left of the walk's fetch window (dynamic_slice-clamped)."""
+    R = cfg.localize_iterations - 1
+    WR, WC = 2 * R + 1, 2 * R + 3
+    # replicate dynamic_slice's start clamp so the in-window center
+    # stays correct even when the slice hits an image corner (padding
+    # slots, or a non-default border < R+1)
+    sr0 = jnp.clip(r0 - R, 0, rows - WR)
+    sc0 = jnp.clip(c0 - (R + 1), 0, cols - WC)
+    return sr0, sc0, WR, WC
+
+
 def _walk_one(allm, r0, c0, cur_scale, pixel_distance,
               rows, cols, cfg: HesaffConfig):
     """Per-candidate bounded walk over the dense localization maps.
@@ -196,18 +208,32 @@ def _walk_one(allm, r0, c0, cur_scale, pixel_distance,
     cheap in-register one-hot contractions instead of per-step gathers
     (scattered 4-float gathers were the detect hot spot on TPU).
     """
-    R = cfg.localize_iterations - 1
-    WR, WC = 2 * R + 1, 2 * R + 3
-    # replicate dynamic_slice's start clamp so the in-window center
-    # stays correct even when the slice hits an image corner (padding
-    # slots, or a non-default border < R+1)
-    sr0 = jnp.clip(r0 - R, 0, rows - WR)
-    sc0 = jnp.clip(c0 - (R + 1), 0, cols - WC)
+    sr0, sc0, WR, WC = _window_starts(r0, c0, rows, cols, cfg)
     w = jax.lax.dynamic_slice(allm, (sr0, sc0, 0), (WR, WC, 8))
+    return _walk_window(w, r0 - sr0, c0 - sc0, r0, c0, cur_scale,
+                        pixel_distance, rows, cols, cfg)
+
+
+def _walk_one_flat(allm_flat, src, r0, c0, cur_scale, pixel_distance,
+                   rows, cols, cfg: HesaffConfig):
+    """_walk_one reading from a stacked (N_maps, H, W, 8) channel pack.
+
+    src selects the (image, level) plane — the flat cross-image walk's
+    sampling form (detect_octave_batch)."""
+    sr0, sc0, WR, WC = _window_starts(r0, c0, rows, cols, cfg)
+    w = jax.lax.dynamic_slice(
+        allm_flat, (src, sr0, sc0, 0), (1, WR, WC, 8))[0]
+    return _walk_window(w, r0 - sr0, c0 - sc0, r0, c0, cur_scale,
+                        pixel_distance, rows, cols, cfg)
+
+
+def _walk_window(w, cr, cc, r0, c0, cur_scale, pixel_distance,
+                 rows, cols, cfg: HesaffConfig):
+    """Walk decision loop over a pre-fetched (WR, WC, 8) window with the
+    start cell at in-window position (cr, cc)."""
+    WR, WC = w.shape[0], w.shape[1]
     ir = jax.lax.broadcasted_iota(jnp.int32, (WR, WC), 0)
     ic = jax.lax.broadcasted_iota(jnp.int32, (WR, WC), 1)
-    cr = r0 - sr0
-    cc = c0 - sc0
 
     def at(dr, dc):
         onehot = ((ir == cr + dr)
@@ -280,15 +306,11 @@ def _walk_one(allm, r0, c0, cur_scale, pixel_distance,
     return ok, x, y, s, val, ptype, r, c
 
 
-def detect_level(low, cur, high, blur, cur_scale: float,
-                 pixel_distance: float, capacity: int,
-                 cfg: HesaffConfig, valid_hw=None) -> LevelKeypoints:
-    """Candidates + batched localization for one detection level.
+def _level_maps(low, cur, high, blur, cfg: HesaffConfig, valid_hw=None):
+    """Candidate mask + packed walk channels for one detection level.
 
-    Localization solves the quadratic fit DENSELY (VPU stencils over the
-    whole level, _localization_maps) and only the bounded +-1 walk runs
-    per candidate, reading 4 contiguous floats per step — per-candidate
-    3x3x3 gathers + solves were the detection hot spot on TPU.
+    Dispatches to the fused Pallas kernel (NMS + localization maps in
+    one VMEM-resident pass) on TPU when enabled; XLA twin otherwise.
     """
     H, W = cur.shape
     if (_DETECT_PALLAS and cfg.use_pallas
@@ -306,12 +328,26 @@ def detect_level(low, cur, high, blur, cur_scale: float,
         allm = jnp.stack(
             [maps[..., 0], maps[..., 1], maps[..., 2], maps[..., 3],
              nanf, edgef, blur, jnp.zeros_like(blur)], axis=-1)
-        rows, cols, valid, overflow = compact_candidates(mask, capacity)
     else:
         mask = candidate_mask(low, cur, high, cfg, valid_hw=valid_hw)
-        rows, cols, valid, overflow = compact_candidates(mask, capacity)
         maps, edge_bad = _localization_maps(low, cur, high, cfg)
         allm = _pack_walk_channels(maps, edge_bad, blur)
+    return mask, allm
+
+
+def detect_level(low, cur, high, blur, cur_scale: float,
+                 pixel_distance: float, capacity: int,
+                 cfg: HesaffConfig, valid_hw=None) -> LevelKeypoints:
+    """Candidates + batched localization for one detection level.
+
+    Localization solves the quadratic fit DENSELY (VPU stencils over the
+    whole level, _localization_maps) and only the bounded +-1 walk runs
+    per candidate, reading 4 contiguous floats per step — per-candidate
+    3x3x3 gathers + solves were the detection hot spot on TPU.
+    """
+    H, W = cur.shape
+    mask, allm = _level_maps(low, cur, high, blur, cfg, valid_hw=valid_hw)
+    rows, cols, valid, overflow = compact_candidates(mask, capacity)
 
     loc = jax.vmap(
         lambda r, c: _walk_one(
@@ -395,3 +431,88 @@ def dedup_octave(levels: list[LevelKeypoints], H: int, W: int):
         out.append(lvl._replace(ok=keep[start : start + n]))
         start += n
     return out
+
+
+def detect_octave_batch(resps, blurs, sig, pd: float, cfg: HesaffConfig,
+                        octave: int = 0, valid_hw=None, chunk: int = 512):
+    """Whole-batch octave detection with flat cross-image walks.
+
+    Same per-candidate arithmetic as the vmapped per-image path
+    (detect_level x3 + dedup_octave + compact_levels — the helpers are
+    shared), but the per-candidate walks run ONCE over the compacted
+    cross-image candidate set in runtime-skipped chunks.  Per-level
+    capacities are sized for worst-case images, so ~90% of per-image
+    walk slots are padding on typical imagery (measured); compaction
+    packs the real candidates of all B images and 3 levels into the
+    leading chunks and the padding chunks short-circuit (chunked_vmap).
+
+    resps: (B, 5, H, W), blurs: (B, 5, H, W), sig: per-level sigmas.
+    Returns the dict of (B, acap) fields that batch.detect_affine_batch
+    consumes (ok/level/x/y/s/response/type + overflow/n_cand per image).
+    """
+    B = resps.shape[0]
+    H, W = resps.shape[-2], resps.shape[-1]
+    cap = cfg.level_capacity(H, W, octave)
+    acap = cfg.affine_capacity(H, W, octave)
+
+    pre_r, pre_c, pre_v, pre_o, pre_n, pre_m = [], [], [], [], [], []
+    for l in (1, 2, 3):
+        def pre(low, cur, high, blur, vhw=None):
+            mask, allm = _level_maps(low, cur, high, blur, cfg,
+                                     valid_hw=vhw)
+            r, c, v, ov = compact_candidates(mask, cap)
+            return r, c, v, ov, jnp.sum(mask.astype(jnp.int32)), allm
+
+        args = (resps[:, l - 1], resps[:, l], resps[:, l + 1], blurs[:, l])
+        if valid_hw is None:
+            outs = jax.vmap(lambda lo, cu, hi, b: pre(lo, cu, hi, b))(*args)
+        else:
+            outs = jax.vmap(pre)(*args, valid_hw)
+        for lst, o in zip((pre_r, pre_c, pre_v, pre_o, pre_n, pre_m), outs):
+            lst.append(o)
+
+    # (B, 3, cap) candidate slots; (B*3, H, W, 8) stacked channel packs
+    rows3 = jnp.stack(pre_r, 1)
+    cols3 = jnp.stack(pre_c, 1)
+    valid3 = jnp.stack(pre_v, 1)
+    allm_flat = jnp.stack(pre_m, 1).reshape(B * 3, H, W, 8)
+
+    total = B * 3 * cap
+    idx, pv, _ = compact_indices(valid3.reshape(-1), total)  # permutation
+    src = idx // cap                     # img * 3 + (level - 1)
+    lvl_i = src % 3
+    r0 = rows3.reshape(-1)[idx]
+    c0 = cols3.reshape(-1)[idx]
+    sig_arr = jnp.asarray([float(sig[l]) for l in (1, 2, 3)], jnp.float32)
+    cs = sig_arr[lvl_i]
+
+    walked = chunked_vmap(
+        lambda s_i, rr, cc, curs: _walk_one_flat(
+            allm_flat, s_i, rr, cc, curs, jnp.float32(pd), H, W, cfg),
+        (src, r0, c0, cs), chunk, active=pv)
+
+    safe = jnp.where(pv, idx, total)     # padding scatters drop
+    scat = lambda v: jnp.zeros((total,), v.dtype).at[safe].set(
+        v, mode="drop").reshape(B, 3, cap)
+    okw, xw, yw, sw, valw, tw, rfw, cfw = [scat(v) for v in walked]
+
+    order = jnp.arange(cap, dtype=jnp.int32)
+
+    def post(ok_i, x_i, y_i, s_i, val_i, t_i, rf_i, cf_i, ov_i, nc_i):
+        levels = [
+            LevelKeypoints(
+                ok=ok_i[i], x=x_i[i], y=y_i[i], s=s_i[i],
+                response=val_i[i], type=t_i[i], r_final=rf_i[i],
+                c_final=cf_i[i], order=order, overflow=ov_i[i],
+                n_cand=nc_i[i])
+            for i in range(3)
+        ]
+        levels = dedup_octave(levels, H, W)
+        comp = compact_levels(levels, acap)
+        comp["overflow"] = comp["overflow"] + sum(
+            lk.overflow for lk in levels)
+        comp["n_cand"] = sum(lk.n_cand for lk in levels)
+        return comp
+
+    return jax.vmap(post)(okw, xw, yw, sw, valw, tw, rfw, cfw,
+                          jnp.stack(pre_o, 1), jnp.stack(pre_n, 1))

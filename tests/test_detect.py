@@ -77,3 +77,42 @@ def test_flat_image_no_keypoints():
 def test_tiny_image_no_octaves():
     tiny = (np.random.RandomState(0).rand(13, 13) * 255).astype(np.float32)
     assert len(run_detection(tiny)) == 0
+
+
+def test_detect_octave_batch_matches_per_image(golden_small):
+    """The flat cross-image walk path (batch production path) equals the
+    per-image vmapped reference path slot for slot — same helpers, same
+    arithmetic, only the walk harness differs."""
+    import jax
+
+    from hesaff_tpu.batch import _detect_one_octave
+    from hesaff_tpu.detect import detect_octave_batch
+
+    cfg = HesaffConfig()
+    g1 = golden_small["gray"]
+    g2 = np.ascontiguousarray(g1[::-1, ::-1])
+    imgs = jnp.asarray(np.stack([g1, g2]))
+    first = jax.vmap(lambda im: prepare_first_level(im, cfg)[0])(imgs)
+    o = jax.vmap(lambda f: build_octave(f, 1.0, cfg))(first)
+    sig = level_sigmas(cfg)
+
+    ref = jax.vmap(
+        lambda r, b: _detect_one_octave(r, b, sig, 1.0, cfg, octave=0)
+    )(o.resps, o.blurs)
+    got = detect_octave_batch(o.resps, o.blurs, sig, 1.0, cfg, octave=0)
+
+    assert np.array_equal(np.asarray(got["ok"]), np.asarray(ref["ok"]))
+    v = np.asarray(ref["ok"])
+    for k in ("level", "type"):
+        np.testing.assert_array_equal(np.asarray(got[k])[v],
+                                      np.asarray(ref[k])[v], err_msg=k)
+    for k in ("x", "y", "s", "response"):
+        # identical arithmetic; the per-candidate scale rides as data in
+        # the flat path vs a trace-time constant per level — 1-ulp fusion
+        np.testing.assert_allclose(np.asarray(got[k])[v],
+                                   np.asarray(ref[k])[v],
+                                   rtol=3e-7, atol=0, err_msg=k)
+    np.testing.assert_array_equal(np.asarray(got["overflow"]),
+                                  np.asarray(ref["overflow"]))
+    np.testing.assert_array_equal(np.asarray(got["n_cand"]),
+                                  np.asarray(ref["n_cand"]))
