@@ -203,6 +203,12 @@ def _describe_stage(patches, cfg: HesaffConfig):
 # bucket size (measured on v5e); larger groups fall back to XLA
 _PALLAS_GROUP_MAX = 384
 
+# split each Pallas patch group into narrow/wide warp-extent classes
+# (env-gated until validated on-chip)
+import os as _os
+
+_PATCH_CLASSES = _os.environ.get("HESAFF_PATCH_CLASSES", "0") == "1"
+
 
 def default_group_spec(height: int, width: int,
                        cfg: HesaffConfig = DEFAULT_CONFIG,
@@ -264,12 +270,19 @@ def _sift_masked(patches, active, cfg: HesaffConfig, chunk: int = 1024):
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "bsize", "bcap", "prev",
-                                    "ncap", "mixed", "interpret"))
+                                    "ncap", "mixed", "gclass", "interpret"))
 def _group_select_stage(images, flat, cfg: HesaffConfig, bsize: int,
                         bcap: int, prev: int, ncap: int, mixed: bool,
-                        interpret: bool = False):
-    """One group's selection + fused Pallas patch kernel (small jit)."""
-    from hesaff_tpu.ops.pallas_patches import extract_group_pallas
+                        gclass: str = "all", interpret: bool = False):
+    """One group's selection + fused Pallas patch kernel (small jit).
+
+    gclass splits the group by warp extent: "narrow" takes the
+    near-isotropic majority through the small-window kernel geometry
+    (~2.5x less DMA + x-pass work), "wide" the anisotropy tail through
+    the worst-case geometry, "all" disables the split.
+    """
+    from hesaff_tpu.ops.pallas_patches import (extent_fits_narrow,
+                                               extract_group_pallas)
 
     ok = flat["ok"]
     mr_scale = jnp.ceil(flat["s"] * cfg.mr_size)
@@ -278,6 +291,12 @@ def _group_select_stage(images, flat, cfg: HesaffConfig, bsize: int,
     if mixed:
         its_all = (ws - 2).astype(jnp.float32) / cfg.patch_size
         m = m & ~(its_all <= cfg.oversample_cutoff)
+    if gclass != "all":
+        H_, W_ = images.shape[-2], images.shape[-1]
+        fits = extent_fits_narrow(
+            ws, flat["a11"], flat["a21"], flat["a22"], bsize,
+            H_, W_, cfg.patch_size, cfg.patch_smooth_factor)
+        m = m & (fits if gclass == "narrow" else ~fits)
     idx, valid, over = compact_indices(m, bcap)
     # shear-sort so the kernel's KB-blocks are shear-homogeneous and
     # its narrow-band y-pass (all-slots-low cond) actually engages
@@ -292,7 +311,7 @@ def _group_select_stage(images, flat, cfg: HesaffConfig, bsize: int,
     pk, pok = extract_group_pallas(
         images, bsize, gi, a["x"], a["y"], a["s"],
         a["a11"], a["a21"], a["a22"], cfg, active=valid,
-        interpret=interpret,
+        narrow=(gclass == "narrow"), interpret=interpret,
     )
     return pk, pok, gi, a, valid, over
 
@@ -413,6 +432,23 @@ def extraction_step_grouped(images, cfg: HesaffConfig,
     Ho, Wo = images.shape[-2], images.shape[-1]
     for bsize, bcap in groups:
         if bsize <= _PALLAS_GROUP_MAX:
+            if _PATCH_CLASSES:
+                # extent-split: near-isotropic majority through the
+                # narrow-window kernel, anisotropy tail through the
+                # worst-case geometry
+                pk, pok, gi, a, valid, over = _group_select_stage(
+                    images, flat, cfg, bsize, bcap, prev, ncap, mixed,
+                    gclass="narrow", interpret=interpret)
+                pieces.append((pk, pok, gi, a, valid))
+                overflow = overflow + over
+                wcap = max(32, ((bcap // 8 + 31) // 32) * 32)
+                pk, pok, gi, a, valid, over = _group_select_stage(
+                    images, flat, cfg, bsize, wcap, prev, ncap, mixed,
+                    gclass="wide", interpret=interpret)
+                pieces.append((pk, pok, gi, a, valid))
+                overflow = overflow + over
+                prev = bsize
+                continue
             # fused Pallas patch kernel (window resident in VMEM)
             pk, pok, gi, a, valid, over = _group_select_stage(
                 images, flat, cfg, bsize, bcap, prev, ncap, mixed,

@@ -44,7 +44,8 @@ def _round_up(v: int, m: int) -> int:
 
 
 def group_geometry(bucket: int, height: int, width: int,
-                   patch_size: int, smooth_factor: float):
+                   patch_size: int, smooth_factor: float,
+                   narrow: bool = False):
     """Static (WY, WX, KMAX, LY, CY, CX) for a bucket-group kernel.
 
     CY/CX are the coverage window sides (what the warp extent needs,
@@ -52,11 +53,22 @@ def group_geometry(bucket: int, height: int, width: int,
     sides — row origins align down to 8 and col origins to 128 (Mosaic
     requires provably tile-aligned dynamic HBM slices), so the copied
     window carries +8 / +128 margin, capped at the padded image dims.
+
+    The default geometry covers the anisotropy-6 worst case (row norms
+    up to sqrt(6): y extent (|a21|+a22) up to ~3.5, affine.cpp:89);
+    `narrow` sizes for the near-isotropic majority — callers must route
+    only keypoints satisfying `extent_fits_narrow` here (the kernel
+    reads silently-zero samples outside its DMA window otherwise).
+    DMA volume and the x-pass matmul shrink ~2.5x.
     """
     hp = _round_up(height, 8)
     wp = _round_up(width, 128)
-    cy = min(height, ((int(3.5 * bucket) + 15) // 8) * 8)
-    cx = min(width, ((int(2.5 * bucket) + 15) // 8) * 8)
+    if narrow:
+        cy = min(height, _round_up(int(1.6 * bucket) + 16, 8))
+        cx = min(width, _round_up(int(1.4 * bucket) + 16, 8))
+    else:
+        cy = min(height, ((int(3.5 * bucket) + 15) // 8) * 8)
+        cx = min(width, ((int(2.5 * bucket) + 15) // 8) * 8)
     wy = min(hp, cy + 8)
     wx = min(wp, _round_up(cx, 128) + 128)
     its_max = (bucket - 2) / patch_size
@@ -66,10 +78,34 @@ def group_geometry(bucket: int, height: int, width: int,
     return wy, wx, kmax, ly, cy, cx
 
 
-def _group_kb(bucket: int) -> int:
+def extent_fits_narrow(ws, a11, a21, a22, bucket: int, height: int,
+                       width: int, patch_size: int, smooth_factor: float):
+    """Per-keypoint mask: the warp extent fits the `narrow` coverage
+    window (so the keypoint may route to the narrow-geometry kernel).
+
+    Sampling spans x in +-(a11*half + 1) and y in +-((|a21|+a22)*half
+    + 1) around the center (rectified frames: a12 = 0), plus 1 for the
+    bilinear floor — the +2 slack covers both.
+    """
+    _, _, _, _, cy, cx = group_geometry(
+        bucket, height, width, patch_size, smooth_factor, narrow=True)
+    half = (ws >> 1).astype(jnp.float32)
+    fy = (jnp.abs(a21) + a22) * half + 2.0 <= cy // 2
+    fx = a11 * half + 2.0 <= cx // 2
+    return fy & fx
+
+
+def _group_kb(bucket: int, narrow: bool = False) -> int:
     """Keypoints per grid step, bounded by the 16 MB scoped VMEM
     (window scratch KB*WY*WX*4 dominates; measured: bucket 193 at KB=4
-    allocates 16.16 MB)."""
+    allocates 16.16 MB).  Narrow-geometry windows are ~2.5x smaller,
+    affording ~2x the block."""
+    if narrow:
+        if bucket <= 128:
+            return 16
+        if bucket <= 160:
+            return 8
+        return 4 if bucket <= 512 else 2
     if bucket <= 128:
         return 8
     if bucket <= 160:
@@ -347,10 +383,11 @@ def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("bucket", "cfg", "interpret"))
+@functools.partial(jax.jit, static_argnames=("bucket", "cfg", "narrow",
+                                              "interpret"))
 def patches_pallas(images: jnp.ndarray, bucket: int, act, img_idx, rb, cb,
                    ws, x, y, a11, a21, a22, its, taps, cfg: HesaffConfig,
-                   interpret: bool = False):
+                   narrow: bool = False, interpret: bool = False):
     """Fused patch pipeline over K keypoints of one bucket group.
 
     images: (B, H, W) f32 (HBM; padded in-graph to (8,128) tiles);
@@ -363,10 +400,11 @@ def patches_pallas(images: jnp.ndarray, bucket: int, act, img_idx, rb, cb,
     """
     B, H, W = images.shape
     K = act.shape[0]
-    KB = _group_kb(bucket)
+    KB = _group_kb(bucket, narrow)
     assert K % KB == 0
     WY, WX, KMAX, LY, _, _ = group_geometry(
-        bucket, H, W, cfg.patch_size, cfg.patch_smooth_factor)
+        bucket, H, W, cfg.patch_size, cfg.patch_smooth_factor,
+        narrow=narrow)
     assert taps.shape[1] == KMAX
     P = cfg.patch_size
     Hp = _round_up(H, 8)
@@ -429,7 +467,8 @@ def patches_pallas(images: jnp.ndarray, bucket: int, act, img_idx, rb, cb,
 
 def extract_group_pallas(images: jnp.ndarray, bucket: int, img_idx,
                          x, y, s, a11, a21, a22, cfg: HesaffConfig,
-                         active, interpret: bool = False):
+                         active, narrow: bool = False,
+                         interpret: bool = False):
     """XLA-side wrapper: per-keypoint parameters + corner check + kernel.
 
     Mirrors patches.extract_bucket_batch for the blur branch (the
@@ -443,7 +482,7 @@ def extract_group_pallas(images: jnp.ndarray, bucket: int, img_idx,
     P = cfg.patch_size
     K = x.shape[0]
     WY, WX, KMAX, _, CY, CX = group_geometry(
-        bucket, H, W, P, cfg.patch_smooth_factor)
+        bucket, H, W, P, cfg.patch_smooth_factor, narrow=narrow)
     Hp = _round_up(H, 8)
     Wp = _round_up(W, 128)
 
@@ -478,7 +517,7 @@ def extract_group_pallas(images: jnp.ndarray, bucket: int, img_idx,
     cb = jnp.where(active, cb, 0)
     ws_s = jnp.where(active, ws, 3)
 
-    KB = _group_kb(bucket)
+    KB = _group_kb(bucket, narrow)
     pad = (-K) % KB
     if pad:
         padded = lambda a: jnp.concatenate(
@@ -489,7 +528,7 @@ def extract_group_pallas(images: jnp.ndarray, bucket: int, img_idx,
 
     patches, bad = patches_pallas(
         images, bucket, act, img, rb, cb, ws_s, x, y, a11, a21, a22,
-        its, taps, cfg, interpret=interpret,
+        its, taps, cfg, narrow=narrow, interpret=interpret,
     )
     bad = bad.reshape(-1)
     sl = slice(0, K)

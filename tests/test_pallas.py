@@ -410,3 +410,97 @@ def test_detect_maps_pallas_matches_xla(request):
     for i in (1, 2, 3):   # x, y, s of accepted keypoints
         np.testing.assert_allclose(outs_p[i][both], outs_x[i][both],
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_pallas_patches_narrow_class_matches_bucket_path():
+    """The narrow-geometry kernel variant (small DMA window for
+    near-isotropic keypoints) matches extract_bucket_batch on keypoints
+    that satisfy extent_fits_narrow."""
+    from hesaff_tpu.config import HesaffConfig
+    from hesaff_tpu.ops.pallas_patches import (extent_fits_narrow,
+                                               extract_group_pallas)
+    from hesaff_tpu.patches import extract_bucket_batch
+
+    cfg = HesaffConfig()
+    rng = np.random.default_rng(9)
+    B, H, W = 2, 240, 320
+    img = _smooth_stacks(rng, 1, B, H, W)[0]
+    images = jnp.asarray(img)
+
+    bucket, smin, smax = 49, 1.6, 4.2
+    K = 32
+    img_idx = jnp.asarray(rng.integers(0, B, K), jnp.int32)
+    x = jnp.asarray(rng.uniform(40, W - 40, K), jnp.float32)
+    y = jnp.asarray(rng.uniform(40, H - 40, K), jnp.float32)
+    s = jnp.asarray(rng.uniform(smin, smax, K), jnp.float32)
+    a21 = jnp.asarray(rng.normal(0, 0.2, K), jnp.float32)
+    d = jnp.asarray(np.exp(rng.normal(0, 0.15, K)), jnp.float32)
+    ws = 2 * jnp.ceil(s * cfg.mr_size).astype(jnp.int32) + 3
+    fits = extent_fits_narrow(ws, d, a21, 1.0 / d, bucket, H, W,
+                              cfg.patch_size, cfg.patch_smooth_factor)
+    assert np.asarray(fits).mean() > 0.8   # population is mostly narrow
+    active = jnp.asarray(rng.uniform(size=K) > 0.2) & fits
+
+    pk_ref, ok_ref = extract_bucket_batch(
+        images, bucket, img_idx, x, y, s, d, jnp.zeros(K), a21, 1.0 / d,
+        cfg, active=active)
+    pk, ok = extract_group_pallas(
+        images, bucket, img_idx, x, y, s, d, a21, 1.0 / d, cfg,
+        active=active, narrow=True, interpret=True)
+    ro = np.asarray(ok_ref) & np.asarray(active)
+    np.testing.assert_array_equal(ro, np.asarray(ok))
+    if ro.any():
+        np.testing.assert_allclose(np.asarray(pk_ref)[ro],
+                                   np.asarray(pk)[ro], atol=1e-3)
+
+
+def test_grouped_extraction_classes_matches_staged(monkeypatch):
+    """extraction_step_grouped with the narrow/wide extent split equals
+    the per-bucket staged path (same keypoints, same descriptors)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "golden"))
+    import gen_images
+
+    import hesaff_tpu.dist as dist
+    from hesaff_tpu.config import HesaffConfig
+    from hesaff_tpu.dist import (
+        default_bucket_spec,
+        default_group_spec,
+        extraction_step_grouped,
+        extraction_step_staged,
+    )
+
+    monkeypatch.setattr(dist, "_PATCH_CLASSES", True)
+    cfg = HesaffConfig()
+    B, H, W = 2, 160, 128
+    imgs = np.stack([
+        gen_images.synth_image(W, H, seed=s).astype(np.float32).mean(-1)
+        for s in range(B)
+    ])
+    images = jnp.asarray(imgs)
+    buckets = default_bucket_spec(H, W, cfg, per_image_cap=512, batch=B)
+    groups = default_group_spec(H, W, cfg, per_image_cap=512, batch=B)
+    ref = extraction_step_staged(images, cfg, buckets)
+    out = extraction_step_grouped(images, cfg, groups, interpret=True)
+    rv = np.asarray(ref.valid)
+    ov = np.asarray(out.valid)
+    assert rv.sum() == ov.sum()
+    assert int(ref.overflow) == int(out.overflow) == 0
+
+    def keyed(d, v):
+        return {
+            (round(float(a), 3), round(float(b), 3), round(float(c), 3)): i
+            for i, (a, b, c) in enumerate(
+                zip(np.asarray(d.x)[v], np.asarray(d.y)[v],
+                    np.asarray(d.s)[v]))
+        }
+
+    rk = keyed(ref, rv)
+    gk = keyed(out, ov)
+    assert set(rk) == set(gk)
+    rd = np.asarray(ref.desc)[rv].astype(int)
+    od = np.asarray(out.desc)[ov].astype(int)
+    for key in rk:
+        assert np.abs(rd[rk[key]] - od[gk[key]]).max() <= 1
