@@ -15,22 +15,65 @@ import jax.numpy as jnp
 
 
 def compact_indices(mask: jnp.ndarray, capacity: int):
-    """Indices of set elements in order, padded to `capacity`.
+    """Row-major indices of set elements, padded to `capacity`.
 
-    cumsum + searchsorted (the j-th hit is the first index whose running
-    count reaches j+1): bandwidth-bound stream compaction.  jnp.nonzero
-    lowers to a full sort on TPU (~5 ms per 512k elements, measured) and
-    dominated detection before this.  Returns (idx, valid, overflow).
+    Two-level compaction built from reductions, compares, and one-hot
+    matmuls — no gathers and no sort.  The mask reshapes to rows (R, C);
+    the j-th hit's row is a compare-count against the row-count cumsum,
+    and its column a compare-count against the selected row's in-row
+    cumsum (fetched with a one-hot matmul — HIGHEST precision, exact
+    for integer values < 2^24).  Alternatives measured on TPU:
+    jnp.nonzero lowers to a full sort (~5 ms per 512k elements) and
+    jnp.searchsorted's binary search issues capacity*log2(N) scattered
+    gathers (~20 Msamples/s) — both dominated detection.
+
+    Returns (idx, valid, overflow); idx indexes mask.reshape(-1).
     """
-    flat = mask.reshape(-1)
-    csum = jnp.cumsum(flat.astype(jnp.int32))
-    n = csum[-1]
+    if mask.ndim == 2:
+        m2 = mask.astype(jnp.int32)
+    else:
+        flat = mask.reshape(-1).astype(jnp.int32)
+        C = min(512, flat.shape[0])
+        pad = (-flat.shape[0]) % C
+        if pad:
+            flat = jnp.concatenate([flat, jnp.zeros((pad,), jnp.int32)])
+        m2 = flat.reshape(-1, C)
+    R, C = m2.shape
+
+    counts = m2.sum(axis=1)                       # (R,)
+    crow = jnp.cumsum(counts)                     # (R,) running count
+    n = crow[-1]
+    # prev-count column ++ in-row cumsum, one matrix to row-select from
+    table = jnp.concatenate(
+        [jnp.concatenate([jnp.zeros((1,), jnp.int32), crow[:-1]]
+                         )[:, None], jnp.cumsum(m2, axis=1)],
+        axis=1).astype(jnp.float32)               # (R, 1 + C)
+    riota = jnp.arange(R, dtype=jnp.int32)
+
+    def chunk(targets):
+        row = jnp.sum((crow[None, :] < targets[:, None]).astype(jnp.int32),
+                      axis=1)                     # (T,) 0-based row
+        row = jnp.minimum(row, R - 1)
+        rowsel = (row[:, None] == riota[None, :]).astype(jnp.float32)
+        sel = jnp.dot(rowsel, table,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)  # (T, 1 + C)
+        k = targets.astype(jnp.float32) - sel[:, 0]         # rank in row
+        col = jnp.sum((sel[:, 1:] < k[:, None]).astype(jnp.int32), axis=1)
+        return row * C + col
+
     targets = jnp.arange(1, capacity + 1, dtype=jnp.int32)
-    idx = jnp.searchsorted(csum, targets).astype(jnp.int32)
-    idx = jnp.minimum(idx, flat.shape[0] - 1)
+    TC = 4096
+    if capacity <= TC:
+        idx = chunk(targets)
+    else:
+        pad_t = (-capacity) % TC
+        tp = jnp.concatenate(
+            [targets, jnp.zeros((pad_t,), jnp.int32)]).reshape(-1, TC)
+        idx = jax.lax.map(chunk, tp).reshape(-1)[:capacity]
     valid = targets <= n
     idx = jnp.where(valid, idx, 0)
-    return idx, valid, jnp.maximum(n - capacity, 0)
+    return idx.astype(jnp.int32), valid, jnp.maximum(n - capacity, 0)
 
 
 def chunked_vmap(fn, args, chunk: int, active=None):
