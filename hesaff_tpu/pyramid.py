@@ -14,9 +14,14 @@ octave loop unrolled.
 from __future__ import annotations
 
 import math
+import os
 from typing import NamedTuple
 
 import jax.numpy as jnp
+
+# fuse the whole octave ladder (blurs + DoH) into one tiled Pallas pass
+# (env-gated until validated on-chip)
+_OCTAVE_CHAIN = os.environ.get("HESAFF_OCTAVE_CHAIN", "0") == "1"
 
 from hesaff_tpu.config import HesaffConfig
 from hesaff_tpu.ops.blur import gaussian_blur_traced, gaussian_taps
@@ -94,6 +99,23 @@ def build_octave(first_level: jnp.ndarray, pixel_distance: float,
     H, W = first_level.shape[-2], first_level.shape[-1]
     use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
     whole = pallas_blur.fits_vmem(H, W)
+
+    if use_pallas and _OCTAVE_CHAIN:
+        # whole ladder in one tiled pass (no HBM round-trips between
+        # levels, one dispatch instead of num_scales+2)
+        taps_list = tuple(
+            tuple(float(t) for t in gaussian_taps(
+                sigmas[i] * math.sqrt(step * step - 1.0)))
+            for i in range(cfg.num_scales + 1))
+        norms = tuple(float(s ** 4) for s in sigmas)
+        cblurs, cresps = pallas_blur.octave_chain_tiled(
+            first_level, taps_list, norms)
+        blurs = jnp.stack([first_level, *cblurs])
+        next_first = half_image(cblurs[cfg.num_scales - 1])
+        return Octave(
+            blurs=blurs, resps=jnp.stack(cresps), sigmas=tuple(sigmas),
+            pixel_distance=pixel_distance, next_first=next_first,
+        )
 
     blurs = [first_level]
     resps = [hessian_response(first_level, sigmas[0] ** 2)]

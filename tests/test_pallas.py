@@ -504,3 +504,34 @@ def test_grouped_extraction_classes_matches_staged(monkeypatch):
     od = np.asarray(out.desc)[ov].astype(int)
     for key in rk:
         assert np.abs(rd[rk[key]] - od[gk[key]]).max() <= 1
+
+
+def test_octave_chain_matches_ladder(golden_small):
+    """Whole-octave fused chain kernel (interpret) reproduces the golden
+    blur ladder + DoH stacks at the same tolerances as the per-level
+    kernels."""
+    import math
+
+    from hesaff_tpu.config import HesaffConfig
+    from hesaff_tpu.ops.pallas_blur import octave_chain_tiled
+
+    cfg = HesaffConfig()
+    sig = [cfg.initial_sigma * cfg.sigma_step**k for k in range(5)]
+    first = jnp.asarray(golden_small["oct0_blur0"])
+    taps_list = tuple(
+        tuple(float(t) for t in gaussian_taps(
+            sig[i] * math.sqrt(cfg.sigma_step**2 - 1.0)))
+        for i in range(cfg.num_scales + 1))
+    norms = tuple(float(s**4) for s in sig)
+    blurs, resps = octave_chain_tiled(first, taps_list, norms,
+                                      interpret=True)
+    for k in range(1, 5):
+        np.testing.assert_allclose(
+            np.asarray(blurs[k - 1]), golden_small[f"oct0_blur{k}"],
+            atol=2e-2)
+    for k in range(5):
+        # interior only: the oracle's 1-px resp border is uninitialized
+        np.testing.assert_allclose(
+            np.asarray(resps[k])[1:-1, 1:-1],
+            golden_small[f"oct0_resp{k}"][1:-1, 1:-1],
+            atol=0.3)
