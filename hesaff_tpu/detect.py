@@ -166,9 +166,19 @@ def _localization_maps(low, cur, high, cfg: HesaffConfig):
     return jnp.concatenate([b, val[..., None]], axis=-1), edge_bad
 
 
+def _stack_walk_channels(b0, b1, b2, val, nan_f, edge_f, blur):
+    """THE walk-pack layout: [b0, b1, b2, val, nan, edge, blur, 0].
+
+    Single constructor — _walk_window's channel reads (v[3]=val,
+    v[4]=nan, v[5]=edge, v[6]=blur) depend on this order, and both the
+    XLA and fused-Pallas map producers must agree."""
+    return jnp.stack(
+        [b0, b1, b2, val, nan_f, edge_f, blur, jnp.zeros_like(blur)],
+        axis=-1)
+
+
 def _pack_walk_channels(maps, edge_bad, blur):
-    """(H, W, 8) channel pack for the windowed walk: [b0, b1, b2, val,
-    nan_flag, edge_bad, blur, 0].
+    """(H, W, 8) channel pack for the windowed walk.
 
     NaN solves (solve3x3's singular signal) become an explicit flag
     channel and the values are sanitized: the walk reads cells via
@@ -177,10 +187,9 @@ def _pack_walk_channels(maps, edge_bad, blur):
     """
     nan_flag = jnp.any(jnp.isnan(maps[..., :3]), axis=-1)
     clean = jnp.nan_to_num(maps)
-    return jnp.stack(
-        [clean[..., 0], clean[..., 1], clean[..., 2], clean[..., 3],
-         nan_flag.astype(jnp.float32), edge_bad.astype(jnp.float32),
-         blur, jnp.zeros_like(blur)], axis=-1)
+    return _stack_walk_channels(
+        clean[..., 0], clean[..., 1], clean[..., 2], clean[..., 3],
+        nan_flag.astype(jnp.float32), edge_bad.astype(jnp.float32), blur)
 
 
 def _window_starts(r0, c0, rows, cols, cfg: HesaffConfig):
@@ -313,10 +322,14 @@ def _level_maps(low, cur, high, blur, cfg: HesaffConfig, valid_hw=None):
     one VMEM-resident pass) on TPU when enabled; XLA twin otherwise.
     """
     H, W = cur.shape
-    if (_DETECT_PALLAS and cfg.use_pallas
-            and jax.default_backend() == "tpu"):
-        from hesaff_tpu.ops.pallas_detect import detect_maps_pallas
+    use_fused = (_DETECT_PALLAS and cfg.use_pallas
+                 and jax.default_backend() == "tpu")
+    if use_fused:
+        from hesaff_tpu.ops.pallas_detect import (detect_maps_fits,
+                                                  detect_maps_pallas)
 
+        use_fused = detect_maps_fits(H, W)
+    if use_fused:
         maps, nanf, edgef, mask = detect_maps_pallas(
             low, cur, high, cfg.border, cfg.positive_threshold,
             cfg.negative_threshold, cfg.edge_score_threshold)
@@ -325,9 +338,9 @@ def _level_maps(low, cur, high, blur, cfg: HesaffConfig, valid_hw=None):
             rr = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
             cc = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
             mask = mask & (rr < valid_hw[0] - b) & (cc < valid_hw[1] - b)
-        allm = jnp.stack(
-            [maps[..., 0], maps[..., 1], maps[..., 2], maps[..., 3],
-             nanf, edgef, blur, jnp.zeros_like(blur)], axis=-1)
+        allm = _stack_walk_channels(
+            maps[..., 0], maps[..., 1], maps[..., 2], maps[..., 3],
+            nanf, edgef, blur)
     else:
         mask = candidate_mask(low, cur, high, cfg, valid_hw=valid_hw)
         maps, edge_bad = _localization_maps(low, cur, high, cfg)

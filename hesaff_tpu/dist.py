@@ -441,7 +441,11 @@ def extraction_step_grouped(images, cfg: HesaffConfig,
                     gclass="narrow", interpret=interpret)
                 pieces.append((pk, pok, gi, a, valid))
                 overflow = overflow + over
-                wcap = max(32, ((bcap // 8 + 31) // 32) * 32)
+                # anisotropy tail is typically <10% of a group, but an
+                # anisotropy-heavy scene can push past that — size at
+                # bcap/4 (padding chunks are skipped at runtime, so the
+                # slack is cheap); overflow stays counted, never silent
+                wcap = max(64, ((bcap // 4 + 31) // 32) * 32)
                 pk, pok, gi, a, valid, over = _group_select_stage(
                     images, flat, cfg, bsize, wcap, prev, ncap, mixed,
                     gclass="wide", interpret=interpret)

@@ -290,6 +290,24 @@ def _make_chain_kernel(taps_list: tuple, norms: tuple, TB: int, HALO: int,
     return kernel
 
 
+def _chain_tb(HALO: int, Wp: int):
+    """Chain-kernel row-block size under the VMEM budget (~26 live
+    block-sized values through the unrolled ladder); None = overflow."""
+    TB = 256
+    while TB > 2 * HALO and 26 * (TB + 2 * HALO) * Wp * 4 > 12 * (1 << 20):
+        TB //= 2
+    if 26 * (TB + 2 * HALO) * Wp * 4 > 12 * (1 << 20):
+        return None
+    return TB
+
+
+def chain_fits(taps_list: tuple, width: int) -> bool:
+    """True when octave_chain_tiled's smallest row block fits VMEM
+    (callers fall back to the per-level blur_doh path otherwise)."""
+    margin = sum(len(t) // 2 for t in taps_list) + 1
+    return _chain_tb(_round_up(margin, 8), _round_up(width, 128)) is not None
+
+
 @functools.partial(jax.jit, static_argnames=("taps_list", "norms",
                                              "interpret"))
 def octave_chain_tiled(first: jnp.ndarray, taps_list: tuple, norms: tuple,
@@ -309,10 +327,9 @@ def octave_chain_tiled(first: jnp.ndarray, taps_list: tuple, norms: tuple,
     Wp = _round_up(W, 128)
     nlev = len(taps_list)
     nout = 2 * nlev + 1
-    # ~26 live block-sized values through the unrolled chain
-    TB = 256
-    while TB > 2 * HALO and 26 * (TB + 2 * HALO) * Wp * 4 > 12 * (1 << 20):
-        TB //= 2
+    picked = _chain_tb(HALO, Wp)
+    assert picked is not None, "caller must gate on chain_fits"
+    TB = picked
     NB = -(-H // TB)
     Hp = (NB + 2) * TB
 

@@ -114,6 +114,24 @@ def _make_kernel(TB: int, HALO: int, H: int, W: int, border: int,
     return kernel
 
 
+def _pick_tb(H: int, Wp: int):
+    """Row-block size under the VMEM budget (~48 live block-sized
+    values through the solve chain); None when even the smallest block
+    would overflow (callers fall back to the XLA path)."""
+    HALO = 8
+    TB = 256
+    while TB > 2 * HALO and 48 * (TB + 2 * HALO) * Wp * 4 > 12 * (1 << 20):
+        TB //= 2
+    if 48 * (TB + 2 * HALO) * Wp * 4 > 12 * (1 << 20):
+        return None
+    return TB, HALO
+
+
+def detect_maps_fits(height: int, width: int) -> bool:
+    """True when the fused kernel's smallest row block fits VMEM."""
+    return _pick_tb(height, _round_up(width, 128)) is not None
+
+
 @functools.partial(jax.jit, static_argnames=("border", "pos_thr", "neg_thr",
                                              "edge_thr", "interpret"))
 def detect_maps_pallas(low, cur, high, border: int, pos_thr: float,
@@ -128,12 +146,10 @@ def detect_maps_pallas(low, cur, high, border: int, pos_thr: float,
     _pack_walk_channels would derive.
     """
     H, W = cur.shape
-    HALO = 8
     Wp = _round_up(W, 128)
-    # VMEM budget: ~48 block-sized live values through the solve chain
-    TB = 256
-    while TB > 2 * HALO and 48 * (TB + 2 * HALO) * Wp * 4 > 12 * (1 << 20):
-        TB //= 2
+    picked = _pick_tb(H, Wp)
+    assert picked is not None, "caller must gate on detect_maps_fits"
+    TB, HALO = picked
     NB = -(-H // TB)
     Hp = (NB + 2) * TB
 

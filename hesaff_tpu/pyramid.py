@@ -108,6 +108,11 @@ def build_octave(first_level: jnp.ndarray, pixel_distance: float,
                 sigmas[i] * math.sqrt(step * step - 1.0)))
             for i in range(cfg.num_scales + 1))
         norms = tuple(float(s ** 4) for s in sigmas)
+        if not pallas_blur.chain_fits(taps_list, W):
+            taps_list = None   # very wide level: per-level path below
+    else:
+        taps_list = None
+    if taps_list is not None:
         cblurs, cresps = pallas_blur.octave_chain_tiled(
             first_level, taps_list, norms)
         blurs = jnp.stack([first_level, *cblurs])
