@@ -28,6 +28,36 @@ def _default_loader(path: str) -> np.ndarray:
     return load_image_gray(path)
 
 
+class HostDropError(RuntimeError):
+    """A peer host failed to reach the liveness barrier (died/wedged)."""
+
+
+def host_barrier(name: str, timeout_s: float = 60.0) -> None:
+    """Liveness barrier for multi-host collective jobs (SURVEY.md §5
+    failure detection).
+
+    XLA collectives HANG indefinitely when a peer dies mid-job; calling
+    this before each collective round converts a dropped host into a
+    timely, catchable HostDropError, so survivors checkpoint their
+    progress and the job restarts on the remaining hosts (see
+    tests/drophost_worker.py for the recovery protocol).  Implemented
+    on the jax.distributed coordination service's KV barrier — no
+    device collectives involved, so it cannot itself hang past the
+    timeout.  No-op in single-process jobs.
+    """
+    from jax._src import distributed
+
+    client = getattr(distributed.global_state, "client", None)
+    if client is None:
+        return
+    try:
+        client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))
+    except Exception as e:  # noqa: BLE001 — any failure means a lost peer
+        raise HostDropError(
+            f"liveness barrier {name!r} failed after {timeout_s}s "
+            f"(peer host dropped?): {e}") from e
+
+
 def pad_to_bucket(img: np.ndarray, multiple: int = 64):
     """Edge-pad an image up to the next shape bucket.
 

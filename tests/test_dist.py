@@ -169,3 +169,75 @@ def test_pipelined_extraction_matches_staged():
         assert np.array_equal(np.asarray(out.desc)[v],
                               np.asarray(ref.desc)[v])
         assert int(out.overflow) == int(ref.overflow)
+
+
+def test_drop_host_detection_and_restart(tmp_path):
+    """Fault injection in the collectives path (SURVEY.md §5): one of
+    two hosts dies mid-job; the survivor's liveness barrier converts
+    the would-be collective hang into HostDropError within its timeout,
+    checkpoints, and signals restart (rc 17).  The restarted
+    single-process job resumes from the checkpoints and the combined
+    results equal a straight dense run of every round."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    import jax.numpy as jnp
+
+    from hesaff_tpu.match import knn2
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "drophost_worker.py")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep + env.get("PYTHONPATH", ""))
+    env.pop("XLA_FLAGS", None)
+    rounds, die_after = 3, 1
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, script, str(i), "2", str(port),
+             str(tmp_path), str(rounds), str(die_after)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True)
+        for i in range(2)
+    ]
+    out0 = procs[0].communicate(timeout=600)
+    assert procs[0].returncode == 17, out0         # detected + restart
+    procs[1].kill()                                # controller reaps the
+    procs[1].communicate(timeout=60)               # wedged host
+
+    with open(os.path.join(str(tmp_path), "cursor_0.json")) as f:
+        cur = json.load(f)
+    assert cur["completed"] == die_after
+    assert cur["detected_drop_at"] == die_after
+
+    # --- job restart: single process resumes from the checkpoints ---
+    sys_path_dir = os.path.dirname(os.path.abspath(__file__))
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("drophost_worker",
+                                                  script)
+    dw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(dw)
+
+    per = 32
+    results = {}
+    for r in range(cur["completed"]):          # completed shards on disk
+        shards = [
+            np.load(os.path.join(str(tmp_path),
+                                 f"round{r}_shard{p}.npy"))
+            for p in range(2)
+        ]
+        results[r] = np.concatenate(shards)
+    for r in range(cur["completed"], rounds):  # recompute the rest
+        q, db = dw.round_data(r, 2, per)
+        results[r] = np.asarray(knn2(jnp.asarray(q), jnp.asarray(db)).idx)
+
+    for r in range(rounds):                    # == dense ground truth
+        q, db = dw.round_data(r, 2, per)
+        want = np.asarray(knn2(jnp.asarray(q), jnp.asarray(db)).idx)
+        assert np.array_equal(results[r].reshape(-1), want.reshape(-1)), r
