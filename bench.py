@@ -95,6 +95,41 @@ def _stage_breakdown(images, cfg, groups, iters=3):
     t("sift", lambda: _sift_masked_stage(patches, pvalid, cfg))
 
 
+def _wait_for_backend(max_wait_s: float = 1500.0) -> None:
+    """Block until the TPU backend answers a tiny probe, bounded.
+
+    The axon tunnel's lease can wedge for minutes after an aborted
+    client; in-process backend init then hangs uninterruptibly.  Probe
+    in a subprocess with a LONG timeout (a killed short probe orphans
+    its grant and renews the wedge), and only init in-process once a
+    probe has succeeded.  Gives up (and lets the real init try anyway)
+    after max_wait_s.
+    """
+    import subprocess
+
+    probe = ("import jax; jax.devices(); import jax.numpy as jnp; "
+             "print(float(jnp.sum(jnp.ones((8, 128)))))")
+    deadline = time.perf_counter() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        budget = deadline - time.perf_counter()
+        if budget <= 0:
+            print(f"# backend probe gave up after {attempt - 1} attempts",
+                  file=sys.stderr)
+            return
+        try:
+            subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=min(600.0, max(60.0, budget)),
+                check=True, capture_output=True)
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            print(f"# backend probe {attempt} failed; retrying",
+                  file=sys.stderr)
+            time.sleep(min(60.0, max(0.0, deadline - time.perf_counter())))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -116,6 +151,9 @@ def main():
                          "(adds tunnel latency; headline numbers stay "
                          "pipelined)")
     args = ap.parse_args()
+
+    if not args.cpu:
+        _wait_for_backend()
 
     import jax
 
