@@ -15,7 +15,8 @@ import threading
 import numpy as np
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_SRC = os.path.join(_ROOT, "native", "hesaff_io.cpp")
+_SRCS = [os.path.join(_ROOT, "native", f)
+         for f in ("hesaff_io.cpp", "hesaff_loader.cpp")]
 _LIB = os.path.join(_ROOT, "native", "libhesaff_io.so")
 _lock = threading.Lock()
 _lib = None
@@ -29,11 +30,12 @@ def _load():
             return _lib
         _tried = True
         try:
+            src_mtime = max(os.path.getmtime(s) for s in _SRCS)
             if (not os.path.exists(_LIB)
-                    or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                    or os.path.getmtime(_LIB) < src_mtime):
                 subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB,
-                     "-lz"],
+                    ["g++", "-O3", "-shared", "-fPIC", "-pthread",
+                     *_SRCS, "-o", _LIB, "-lz"],
                     check=True, capture_output=True,
                 )
             lib = ctypes.CDLL(_LIB)
@@ -60,6 +62,19 @@ def _load():
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ]
+        lib.hesaff_loader_create.restype = ctypes.c_void_p
+        lib.hesaff_loader_create.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.hesaff_loader_next.restype = ctypes.c_int
+        lib.hesaff_loader_next.argtypes = [
+            ctypes.c_void_p] + [ctypes.POINTER(ctypes.c_int32)] * 4
+        lib.hesaff_loader_fetch.restype = ctypes.c_int
+        lib.hesaff_loader_fetch.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+        lib.hesaff_loader_destroy.restype = None
+        lib.hesaff_loader_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -149,3 +164,73 @@ def read_sift(path: str):
         "e00": geom[:, 2], "e01": geom[:, 3], "e11": geom[:, 4],
         "desc": desc,
     }
+
+
+class PrefetchLoader:
+    """Native threaded prefetching image loader (hesaff_loader.cpp).
+
+    Iterates (path, padded_image_or_None, (orig_h, orig_w)) strictly in
+    input order while a C++ thread pool reads, decodes, and edge-pads
+    the following images in the background (decode overlaps device
+    compute — ctypes releases the GIL for the blocking next() call).
+    Images the native decoders cannot handle (e.g. JPEG) yield None and
+    the caller falls back to its Python loader.  Use as a context
+    manager or call close().
+    """
+
+    def __init__(self, paths, threads: int = 4, pad_multiple: int = 64,
+                 queue_cap: int = 16):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native runtime unavailable")
+        self._lib = lib
+        self._paths = list(paths)
+        arr = (ctypes.c_char_p * len(self._paths))(
+            *[p.encode() for p in self._paths])
+        self._handle = lib.hesaff_loader_create(
+            arr, len(self._paths), threads, pad_multiple, queue_cap)
+        if not self._handle:
+            raise RuntimeError("hesaff_loader_create failed")
+        self._pos = 0
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._handle is None or self._pos >= len(self._paths):
+            raise StopIteration
+        wp = ctypes.c_int32()
+        hp = ctypes.c_int32()
+        ow = ctypes.c_int32()
+        oh = ctypes.c_int32()
+        rc = self._lib.hesaff_loader_next(
+            self._handle, ctypes.byref(wp), ctypes.byref(hp),
+            ctypes.byref(ow), ctypes.byref(oh))
+        if rc < 0:
+            raise StopIteration
+        path = self._paths[self._pos]
+        self._pos += 1
+        if rc != 0:
+            self._lib.hesaff_loader_fetch(self._handle, None)
+            return path, None, None
+        img = np.empty((hp.value, wp.value), np.float32)
+        self._lib.hesaff_loader_fetch(
+            self._handle, img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return path, img, (oh.value, ow.value)
+
+    def close(self):
+        if self._handle is not None:
+            self._lib.hesaff_loader_destroy(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):  # best-effort; close() is the real contract
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -79,12 +79,19 @@ def pad_to_bucket(img: np.ndarray, multiple: int = 64):
 def extract_fleet(paths: Sequence[str], out_dir: str, cfg=None,
                   batch_size: int = 8,
                   loader: Callable[[str], np.ndarray] = _default_loader,
-                  log: Callable[[str], None] = print):
+                  log: Callable[[str], None] = print,
+                  prefetch: bool = True):
     """Extract features for `paths`, checkpointed + failure isolated.
 
     Writes <out_dir>/<basename>.npz per image and a cursor.json with
     {done: [...], failed: {path: error}}.  Re-running skips completed
     images.  Returns the cursor dict.
+
+    With `prefetch` (default) and the default loader, images are read,
+    decoded, and padded by the native C++ thread pool
+    (native.PrefetchLoader) ahead of the device loop, so host decode
+    overlaps device compute; formats the native decoders don't cover
+    fall back to the Python loader per image.
     """
     from hesaff_tpu.batch import extract_batch
     from hesaff_tpu.config import DEFAULT_CONFIG
@@ -121,39 +128,74 @@ def extract_fleet(paths: Sequence[str], out_dir: str, cfg=None,
 
     pending = [p for p in paths if p not in done
                and p not in cursor["failed"]]
-    i = 0
-    while i < len(pending):
-        chunk = pending[i:i + batch_size]
-        i += batch_size
-        try:
-            imgs = [pad_to_bucket(loader(p)) for p in chunk]
-            by_bucket = {}
-            for p, (im, hw) in zip(chunk, imgs):
-                by_bucket.setdefault(im.shape, []).append((p, im, hw))
-            for group in by_bucket.values():
-                if len(group) > 1:
-                    feats = extract_batch(
-                        np.stack([im for _, im, _ in group]), cfg,
-                        valid_hw=np.asarray([hw for _, _, hw in group],
-                                            np.int32))
-                    for (p, _, _), f in zip(group, feats):
-                        write_one(p, f)
+
+    stream = None
+    if prefetch and loader is _default_loader and pending:
+        from hesaff_tpu import native
+
+        if native.available():
+            try:
+                stream = native.PrefetchLoader(pending)
+            except RuntimeError:
+                stream = None
+
+    prefetched = {}  # path -> (img_or_None, hw_or_None)
+
+    def load_padded(path):
+        # pull from the native stream until `path` surfaces (an earlier
+        # mid-chunk exception can leave the consumer behind the stream;
+        # buffering keeps them in sync without re-decoding)
+        while (stream is not None and path not in prefetched
+               and len(prefetched) <= 2 * batch_size):
+            try:
+                sp, img, hw = next(stream)
+            except StopIteration:
+                break
+            prefetched[sp] = (img, hw)
+        img, hw = prefetched.pop(path, (None, None))
+        if img is not None:
+            return img, hw
+        return pad_to_bucket(loader(path))
+
+    try:
+        i = 0
+        while i < len(pending):
+            chunk = pending[i:i + batch_size]
+            i += batch_size
+            try:
+                imgs = [load_padded(p) for p in chunk]
+                by_bucket = {}
+                for p, (im, hw) in zip(chunk, imgs):
+                    by_bucket.setdefault(im.shape, []).append((p, im, hw))
+                for group in by_bucket.values():
+                    if len(group) > 1:
+                        feats = extract_batch(
+                            np.stack([im for _, im, _ in group]), cfg,
+                            valid_hw=np.asarray(
+                                [hw for _, _, hw in group], np.int32))
+                        for (p, _, _), f in zip(group, feats):
+                            write_one(p, f)
+                            cursor["done"].append(p)
+                    else:
+                        run_one(group[0][0])
+                        cursor["done"].append(group[0][0])
+            except Exception:
+                # isolate: retry each image alone; only the bad one fails
+                for p in chunk:
+                    prefetched.pop(p, None)
+                    if p in cursor["done"]:
+                        continue
+                    try:
+                        run_one(p)
                         cursor["done"].append(p)
-                else:
-                    run_one(group[0][0])
-                    cursor["done"].append(group[0][0])
-        except Exception:
-            # isolate: retry each image alone; only the bad one fails
-            for p in chunk:
-                if p in cursor["done"]:
-                    continue
-                try:
-                    run_one(p)
-                    cursor["done"].append(p)
-                except Exception as e:  # noqa: BLE001 — must not kill job
-                    cursor["failed"][p] = "".join(
-                        traceback.format_exception_only(type(e), e)
-                    ).strip()
-                    log(f"extract_fleet: FAILED {p}: {cursor['failed'][p]}")
-        save_cursor()
+                    except Exception as e:  # noqa: BLE001 — keep job alive
+                        cursor["failed"][p] = "".join(
+                            traceback.format_exception_only(type(e), e)
+                        ).strip()
+                        log(f"extract_fleet: FAILED {p}: "
+                            f"{cursor['failed'][p]}")
+            save_cursor()
+    finally:
+        if stream is not None:
+            stream.close()
     return cursor

@@ -49,3 +49,37 @@ def test_native_pnm_roundtrip(tmp_path):
     out = load_image_gray(path)
     np.testing.assert_allclose(
         out, rgb.astype(np.float32).mean(-1), atol=1e-4)
+
+
+def test_prefetch_loader_order_parity_and_fallback(tmp_path):
+    """Native threaded prefetch loader: strict input order, pixel parity
+    with load_image_gray + pad_to_bucket, None for undecodable files."""
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    from hesaff_tpu.utils.fleet import pad_to_bucket
+
+    rng = np.random.RandomState(7)
+    paths = []
+    for i in range(9):
+        h, w = int(rng.randint(40, 200)), int(rng.randint(40, 200))
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        p = str(tmp_path / f"im{i}.ppm")
+        with open(p, "wb") as f:
+            f.write(b"P6\n%d %d\n255\n" % (w, h) + img.tobytes())
+        paths.append(p)
+    bad = str(tmp_path / "bad.ppm")
+    with open(bad, "wb") as f:
+        f.write(b"P6 garbage")
+    paths.insert(4, bad)
+
+    with native.PrefetchLoader(paths, threads=3, queue_cap=4) as loader:
+        out = list(loader)
+    assert [p for p, _, _ in out] == paths
+    for p, img, hw in out:
+        if p == bad:
+            assert img is None
+            continue
+        ref, ref_hw = pad_to_bucket(load_image_gray(p))
+        assert hw == ref_hw
+        assert img.shape == ref.shape
+        assert np.array_equal(img, ref)
