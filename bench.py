@@ -36,6 +36,8 @@ def _stage_breakdown(images, cfg, groups, iters=3):
         _phase_a_flat,
         _sift_masked_stage,
         _tail_select_stage,
+        tail_source_level,
+        tail_source_plan,
     )
     from hesaff_tpu.patches import _min_workspace
 
@@ -63,6 +65,8 @@ def _stage_breakdown(images, cfg, groups, iters=3):
     mixed = (_min_workspace(cfg)
              <= cfg.oversample_cutoff * cfg.patch_size + 2)
     Ho, Wo = images.shape[-2], images.shape[-1]
+    base_pd = 0.5 if cfg.upscale_input else 1.0
+    lvl_cache = {}
     prev = 0
     pieces = []
     for bsize, bcap in groups:
@@ -71,13 +75,9 @@ def _stage_breakdown(images, cfg, groups, iters=3):
                   lambda b=bsize, c=bcap, p=prev: _group_select_stage(
                       images, flat, cfg, b, c, p, ncap, mixed))
         else:
-            ps = 2.0
-            while 2 * ((bsize - 2 + 2 * ps - 1) // (2 * ps)) + 3 \
-                    > _PALLAS_GROUP_MAX:
-                ps *= 2.0
-            octave = int(round(np.log2(ps)))
-            src = levels[octave - 1]
-            bucket_src = int(2 * -(-(bsize - 2) // (2 * ps)) + 3)
+            ps, octave, bucket_src = tail_source_plan(bsize, base_pd)
+            src = tail_source_level(images, cfg, octave, levels,
+                                    lvl_cache)
             r = t(f"tail_{bsize}_cap{bcap}",
                   lambda b=bsize, c=bcap, p=prev, s=src, pp=ps,
                          bs=bucket_src: _tail_select_stage(

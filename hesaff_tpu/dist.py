@@ -268,6 +268,22 @@ def _sift_masked(patches, active, cfg: HesaffConfig, chunk: int = 1024):
     return out.reshape(-1, 128)[:K]
 
 
+def _compact_and_gather(flat, m, bcap: int, ncap: int):
+    """Compact the selection mask to bcap slots, shear-sort so the patch
+    kernels' KB-blocks are shear-homogeneous (the narrow-band y-pass's
+    all-slots-low cond engages per block), and gather keypoint fields."""
+    idx, valid, over = compact_indices(m, bcap)
+    order = jnp.argsort(jnp.where(valid, jnp.abs(flat["a21"][idx]),
+                                  jnp.inf))
+    idx = idx[order]
+    valid = valid[order]
+    gi = (idx // ncap).astype(jnp.int32)
+    a = {k: flat[k][idx] for k in
+         ("x", "y", "s", "a11", "a12", "a21", "a22", "response")}
+    a["type"] = flat["type"][idx].astype(jnp.int32)
+    return gi, a, valid, over
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "bsize", "bcap", "prev",
                                     "ncap", "mixed", "gclass", "interpret"))
@@ -297,17 +313,7 @@ def _group_select_stage(images, flat, cfg: HesaffConfig, bsize: int,
             ws, flat["a11"], flat["a21"], flat["a22"], bsize,
             H_, W_, cfg.patch_size, cfg.patch_smooth_factor)
         m = m & (fits if gclass == "narrow" else ~fits)
-    idx, valid, over = compact_indices(m, bcap)
-    # shear-sort so the kernel's KB-blocks are shear-homogeneous and
-    # its narrow-band y-pass (all-slots-low cond) actually engages
-    order = jnp.argsort(jnp.where(valid, jnp.abs(flat["a21"][idx]),
-                                  jnp.inf))
-    idx = idx[order]
-    valid = valid[order]
-    gi = (idx // ncap).astype(jnp.int32)
-    a = {k: flat[k][idx] for k in
-         ("x", "y", "s", "a11", "a12", "a21", "a22", "response")}
-    a["type"] = flat["type"][idx].astype(jnp.int32)
+    gi, a, valid, over = _compact_and_gather(flat, m, bcap, ncap)
     pk, pok = extract_group_pallas(
         images, bsize, gi, a["x"], a["y"], a["s"],
         a["a11"], a["a21"], a["a22"], cfg, active=valid,
@@ -322,6 +328,40 @@ def _scaled_level_stage(images, cfg: HesaffConfig, octave: int):
     from hesaff_tpu.pyramid import scaled_first_level
 
     return scaled_first_level(images, cfg, octave)
+
+
+def tail_source_plan(bsize: int, base_pd: float):
+    """(ps, octave, bucket_src) for a pyramid-tail patch group.
+
+    Picks the smallest downsample factor ps whose source workspace
+    2*ceil((bsize-2)/(2 ps))+3 fits the fused kernel, the pyramid
+    octave whose first level carries that ps (relative to base_pd=0.5
+    under upscale_input), and the source-bucket size.  Single source of
+    truth shared by extraction_step_grouped and bench's stage
+    breakdown.
+    """
+    ps = 2.0
+    while 2 * ((bsize - 2 + 2 * ps - 1) // (2 * ps)) + 3 \
+            > _PALLAS_GROUP_MAX:
+        ps *= 2.0
+    octave = int(round(np.log2(ps / base_pd)))
+    bucket_src = int(2 * -(-(bsize - 2) // (2 * ps)) + 3)
+    return ps, octave, bucket_src
+
+
+def tail_source_level(images, cfg: HesaffConfig, octave: int,
+                      levels_a, cache: dict):
+    """Octave-`octave` first level, reusing phase A's by-products.
+
+    next_firsts[o-1] IS octave o's first level (no recompute); octaves
+    deeper than phase A went are computed on demand and memoized in
+    `cache`.
+    """
+    if octave not in cache:
+        cache[octave] = (
+            levels_a[octave - 1] if 0 <= octave - 1 < len(levels_a)
+            else _scaled_level_stage(images, cfg, octave))
+    return cache[octave]
 
 
 @functools.partial(jax.jit,
@@ -339,15 +379,7 @@ def _tail_select_stage(images_src, flat, cfg: HesaffConfig, bsize: int,
     mr_scale = jnp.ceil(flat["s"] * cfg.mr_size)
     ws = 2 * mr_scale.astype(jnp.int32) + 3
     m = ok & (ws > prev) & (ws <= bsize)
-    idx, valid, over = compact_indices(m, bcap)
-    order = jnp.argsort(jnp.where(valid, jnp.abs(flat["a21"][idx]),
-                                  jnp.inf))
-    idx = idx[order]
-    valid = valid[order]
-    gi = (idx // ncap).astype(jnp.int32)
-    a = {k: flat[k][idx] for k in
-         ("x", "y", "s", "a11", "a12", "a21", "a22", "response")}
-    a["type"] = flat["type"][idx].astype(jnp.int32)
+    gi, a, valid, over = _compact_and_gather(flat, m, bcap, ncap)
     pk, pok = extract_group_pallas_scaled(
         images_src, ps, bucket_src, gi, a["x"], a["y"], a["s"],
         a["a11"], a["a21"], a["a22"], cfg, active=valid,
@@ -462,21 +494,10 @@ def extraction_step_grouped(images, cfg: HesaffConfig,
             # large patches warp from a downsampled sigma0-blurred
             # pyramid level: the source workspace shrinks by ps, so the
             # fused kernel applies (and the work drops ~ps^2)
-            ps = 2.0
-            # max source workspace of this group: 2*ceil((bsize-2)/2ps)+3
-            while 2 * ((bsize - 2 + 2 * ps - 1) // (2 * ps)) + 3 \
-                    > _PALLAS_GROUP_MAX:
-                ps *= 2.0
-            octave = int(round(np.log2(ps / base_pd)))
-            if octave not in levels:
-                # pyramid by-product: next_firsts[o-1] IS octave o's
-                # first level (no recompute)
-                levels[octave] = (
-                    levels_a[octave - 1] if octave - 1 < len(levels_a)
-                    else _scaled_level_stage(images, cfg, octave))
-            bucket_src = int(2 * -(-(bsize - 2) // (2 * ps)) + 3)
+            ps, octave, bucket_src = tail_source_plan(bsize, base_pd)
+            src = tail_source_level(images, cfg, octave, levels_a, levels)
             pk, pok, gi, a, valid, over = _tail_select_stage(
-                levels[octave], flat, cfg, bsize, bcap, prev, ncap,
+                src, flat, cfg, bsize, bcap, prev, ncap,
                 ps, bucket_src, (Ho, Wo), interpret=interpret)
             pieces.append((pk, pok, gi, a, valid))
         else:

@@ -193,6 +193,11 @@ class PrefetchLoader:
             raise RuntimeError("hesaff_loader_create failed")
         self._pos = 0
 
+    @property
+    def pos(self) -> int:
+        """Index of the next path the iterator will deliver."""
+        return self._pos
+
     def __iter__(self):
         return self
 

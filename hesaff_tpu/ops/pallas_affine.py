@@ -51,6 +51,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from hesaff_tpu.ops.pallas_util import round_up as _round_up
+
 from hesaff_tpu.config import HesaffConfig
 from hesaff_tpu.ops.linalg import eigenvalues_2x2, inv_sqrt_2x2
 
@@ -67,10 +69,6 @@ _USE_ROLL = os.environ.get("HESAFF_AFFINE_NO_ROLL", "0") != "1"
 # extra masked iterations (the block runs to its max) for latency
 # hiding of each chain's sample->SMM->update dependency.
 _LOCKSTEP = os.environ.get("HESAFF_AFFINE_LOCKSTEP", "0") == "1"
-
-
-def _round_up(v: int, m: int) -> int:
-    return ((v + m - 1) // m) * m
 
 
 def aligned_window(win: int) -> tuple[int, int]:

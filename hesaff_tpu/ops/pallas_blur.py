@@ -22,6 +22,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from hesaff_tpu.ops.pallas_util import round_up as _round_up
+
 # per-program VMEM budget: input + blurred + response + the shift-chain
 # temporaries Mosaic materializes (measured: a 2MB image fails to fit;
 # 1.5MB compiles) — full-resolution first octaves fall back to XLA
@@ -92,10 +94,6 @@ def _make_kernel(taps: tuple, norm2: float):
 
 def fits_vmem(height: int, width: int) -> bool:
     return 3 * height * width * 4 <= _VMEM_BYTES
-
-
-def _round_up(v: int, m: int) -> int:
-    return ((v + m - 1) // m) * m
 
 
 def _make_tiled_kernel(taps: tuple, norm2: float, TB: int, HALO: int,

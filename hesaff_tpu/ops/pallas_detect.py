@@ -30,7 +30,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from hesaff_tpu.ops.linalg import solve3x3_parts
-from hesaff_tpu.ops.pallas_blur import _round_up, _shift_cols, _shift_rows
+from hesaff_tpu.ops.pallas_blur import _shift_cols, _shift_rows
+from hesaff_tpu.ops.pallas_util import round_up as _round_up
 
 
 def _make_kernel(TB: int, HALO: int, H: int, W: int, border: int,

@@ -35,12 +35,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from hesaff_tpu.config import HesaffConfig
 from hesaff_tpu.ops.pallas_util import dot_bf16x3
+from hesaff_tpu.ops.pallas_util import round_up as _round_up
 
 _HI = jax.lax.Precision.HIGHEST
-
-
-def _round_up(v: int, m: int) -> int:
-    return ((v + m - 1) // m) * m
 
 
 def group_geometry(bucket: int, height: int, width: int,

@@ -31,14 +31,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from hesaff_tpu.ops.pallas_util import round_up as _round_up
+
 from hesaff_tpu.config import HesaffConfig
 from hesaff_tpu.ops import masks
 
 _KL = 128   # patches per grid step (one lane tile)
-
-
-def _round_up(v: int, m: int) -> int:
-    return ((v + m - 1) // m) * m
 
 
 def _spatial_pair_matrix(P: int, sb: int) -> np.ndarray:

@@ -6,6 +6,11 @@ import jax
 import jax.numpy as jnp
 
 
+def round_up(v: int, m: int) -> int:
+    """Round v up to the next multiple of m (tile-alignment helper)."""
+    return (v + m - 1) // m * m
+
+
 def dot_bf16x3(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """f32 matmul via three bf16 passes (the bf16x3 "HIGH" scheme).
 

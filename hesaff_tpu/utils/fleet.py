@@ -120,8 +120,9 @@ def extract_fleet(paths: Sequence[str], out_dir: str, cfg=None,
             response=feats.response, type=feats.type, desc=feats.desc,
         )
 
-    def run_one(path):
-        img, true_hw = pad_to_bucket(loader(path))
+    def run_one(path, img=None, true_hw=None):
+        if img is None:
+            img, true_hw = pad_to_bucket(loader(path))
         feats = extract_batch(img[None], cfg,
                               valid_hw=np.asarray([true_hw], np.int32))[0]
         write_one(path, feats)
@@ -177,8 +178,9 @@ def extract_fleet(paths: Sequence[str], out_dir: str, cfg=None,
                             write_one(p, f)
                             cursor["done"].append(p)
                     else:
-                        run_one(group[0][0])
-                        cursor["done"].append(group[0][0])
+                        p, im, hw = group[0]
+                        run_one(p, im, hw)
+                        cursor["done"].append(p)
             except Exception:
                 # isolate: retry each image alone; only the bad one fails
                 for p in chunk:
@@ -194,6 +196,16 @@ def extract_fleet(paths: Sequence[str], out_dir: str, cfg=None,
                         ).strip()
                         log(f"extract_fleet: FAILED {p}: "
                             f"{cursor['failed'][p]}")
+            # realign the stream to the chunk boundary: a mid-chunk
+            # exception can leave undelivered paths in flight; draining
+            # here keeps later chunks prefetched and frees their slots
+            if stream is not None:
+                try:
+                    while stream.pos < i:
+                        next(stream)
+                except StopIteration:
+                    pass
+            prefetched.clear()
             save_cursor()
     finally:
         if stream is not None:

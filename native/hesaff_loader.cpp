@@ -110,7 +110,10 @@ void edge_pad(const std::vector<float> &src, int32_t w, int32_t h,
   slot.wp = (int32_t)wp;
   slot.hp = (int32_t)hp;
   if (wp == w && hp == h) {
-    slot.pix = src;
+    // src may be oversized (PNM decode buffers are bounded by file
+    // size, not w*h) — copy exactly w*h so fetch()'s memcpy of
+    // slot.pix.size() floats matches the caller's (h, w) buffer
+    slot.pix.assign(src.begin(), src.begin() + (int64_t)w * h);
     return;
   }
   slot.pix.assign((size_t)(wp * hp), 0.0f);

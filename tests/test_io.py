@@ -61,7 +61,13 @@ def test_prefetch_loader_order_parity_and_fallback(tmp_path):
     rng = np.random.RandomState(7)
     paths = []
     for i in range(9):
-        h, w = int(rng.randint(40, 200)), int(rng.randint(40, 200))
+        if i == 2:
+            # dims already multiples of the pad bucket: the no-pad
+            # branch must trim the oversized PNM decode buffer (a 3x
+            # overrun of the caller's h*w floats otherwise)
+            h, w = 128, 192
+        else:
+            h, w = int(rng.randint(40, 200)), int(rng.randint(40, 200))
         img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
         p = str(tmp_path / f"im{i}.ppm")
         with open(p, "wb") as f:
