@@ -299,11 +299,18 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int):
 
 
 def _make_kernel_lockstep(WIN: int, H: int, W: int, cfg: HesaffConfig,
-                          KB: int):
+                          KB: int, it0: int, it_end: int):
     """Lockstep variant: one while_loop over iterations, all KB
     keypoints advancing together with masked updates.  Same per-
     keypoint arithmetic as _make_kernel (bit-identical trajectories;
-    no early exit, so a block runs to its slowest member)."""
+    no early exit, so a block runs to its slowest member).
+
+    State-carrying: the iteration loop runs [it0, it_end) resuming from
+    per-keypoint inputs (U, ratio_bef, violated) and emits the full
+    state, so a two-phase driver can stop at a split point, COMPACT the
+    still-alive keypoints into dense blocks, and resume — blocks no
+    longer pay for their slowest member over the whole 16 iterations
+    (HESAFF_AFFINE_PHASES)."""
     G = cfg.smm_window_size
     N = G * G
     half = G >> 1
@@ -312,8 +319,10 @@ def _make_kernel_lockstep(WIN: int, H: int, W: int, cfg: HesaffConfig,
     XL = _round_up(WIN, 128)
 
     def kernel(src_ref, rb_ref, cb_ref, act_ref, lx_ref, ly_ref, ratio_ref,
+               u11i_ref, u12i_ref, u21i_ref, u22i_ref, rbefi_ref, violi_ref,
                stack_ref, mask_ref, aj_ref, bi_ref,
                ok_ref, u11_ref, u12_ref, u21_ref, u22_ref, iters_ref,
+               rbef_ref, viol_ref, alive_ref,
                wnd, whb, wlb, sems):
         def dma(kb):
             return pltpu.make_async_copy(
@@ -380,7 +389,7 @@ def _make_kernel_lockstep(WIN: int, H: int, W: int, cfg: HesaffConfig,
         ])                                               # (KB, 1, 1)
 
         def cond(state):
-            return jnp.any(state[5]) & (state[9] < cfg.max_iterations)
+            return jnp.any(state[5]) & (state[9] < it_end)
 
         def body(state):
             (u11, u12, u21, u22, ratio_bef, alive, converged,
@@ -465,13 +474,19 @@ def _make_kernel_lockstep(WIN: int, H: int, W: int, cfg: HesaffConfig,
                      converged, conv_iter, violated, it + 1)
             return state
 
-        z11 = jnp.zeros((KB, 1, 1), jnp.float32)
-        init = (z11 + 1.0, z11, z11, z11 + 1.0, z11,
-                act0,
+        stk = lambda ref, dt: jnp.stack([
+            jnp.full((1, 1), ref[0, 0, kb]).astype(dt) for kb in range(KB)
+        ])                                               # (KB, 1, 1)
+        init = (stk(u11i_ref, jnp.float32), stk(u12i_ref, jnp.float32),
+                stk(u21i_ref, jnp.float32), stk(u22i_ref, jnp.float32),
+                stk(rbefi_ref, jnp.float32),
+                act0,                 # selected keypoints are alive by
+                                      # contract (compaction drops the
+                                      # converged/dead before resume)
                 jnp.zeros((KB, 1, 1), bool),
                 jnp.zeros((KB, 1, 1), jnp.int32),
-                jnp.zeros((KB, 1, 1), bool), jnp.int32(0))
-        (u11, u12, u21, u22, _, _, converged, conv_iter,
+                stk(violi_ref, jnp.int32) != 0, jnp.int32(it0))
+        (u11, u12, u21, u22, rbef, alive, converged, conv_iter,
          violated, _) = jax.lax.while_loop(cond, body, init)
         okv = converged & ~violated & (act0)
         for kb in range(KB):
@@ -485,12 +500,27 @@ def _make_kernel_lockstep(WIN: int, H: int, W: int, cfg: HesaffConfig,
             u22_ref[0, 0, kb] = jnp.sum(
                 jnp.where(act0[kb], u22[kb], 0.0))
             iters_ref[0, 0, kb] = jnp.sum(conv_iter[kb])
+            rbef_ref[0, 0, kb] = jnp.sum(
+                jnp.where(act0[kb], rbef[kb], 0.0))
+            viol_ref[0, 0, kb] = jnp.any(
+                violated[kb] & act0[kb]).astype(jnp.int32)
+            alive_ref[0, 0, kb] = jnp.any(
+                alive[kb]).astype(jnp.int32)
 
     return kernel
 
 
 def _call_kernel(stack, src, rb, cb, act, lx, ly, ratio, win, H, W,
-                 cfg: HesaffConfig, interpret: bool):
+                 cfg: HesaffConfig, interpret: bool,
+                 state=None, it0: int = 0, it_end: int | None = None):
+    """Invoke the fused kernel over K keypoints (K % _KB == 0).
+
+    Per-keypoint path: returns (ok, u11, u12, u21, u22, iters).
+    Lockstep path: additionally returns (ratio_bef, violated, alive) so
+    a phase driver can resume; `state` is an optional 6-tuple
+    (u11, u12, u21, u22, ratio_bef, violated) of (K,) arrays and
+    [it0, it_end) bounds the iteration loop.
+    """
     S, Hp, Wp = stack.shape
     K = src.shape[0]
     assert K % _KB == 0
@@ -499,17 +529,29 @@ def _call_kernel(stack, src, rb, cb, act, lx, ly, ratio, win, H, W,
     from hesaff_tpu.ops import masks
     msk = jnp.asarray(masks.smm_gauss_mask(G))
     WINY, WINX = aligned_window(win)
+    if it_end is None:
+        it_end = cfg.max_iterations
 
     XL = _round_up(win, 128)
     if _LOCKSTEP:
-        kernel = _make_kernel_lockstep(win, H, W, cfg, _KB)
+        kernel = _make_kernel_lockstep(win, H, W, cfg, _KB, it0, it_end)
         extra_scratch = [
             pltpu.VMEM((_KB, WINY, XL), jnp.bfloat16),   # whb
             pltpu.VMEM((_KB, WINY, XL), jnp.bfloat16),   # wlb
         ]
+        if state is None:
+            ones = jnp.ones((K,), jnp.float32)
+            zeros = jnp.zeros((K,), jnp.float32)
+            state = (ones, zeros, zeros, ones, zeros,
+                     jnp.zeros((K,), jnp.int32))
+        state_in = tuple(state[:5]) + (state[5].astype(jnp.int32),)
+        n_state_in, n_out = 6, 9
     else:
+        assert state is None and it0 == 0 and it_end == cfg.max_iterations
         kernel = _make_kernel(win, H, W, cfg, _KB)
         extra_scratch = []
+        state_in = ()
+        n_state_in, n_out = 0, 6
     grid = (K // _KB,)
     # scalars ride as (G, 1, KB) blocks — trailing block dims equal the
     # array dims, the only blocked-SMEM layout Mosaic accepts
@@ -517,30 +559,22 @@ def _call_kernel(stack, src, rb, cb, act, lx, ly, ratio, win, H, W,
                                memory_space=pltpu.SMEM)
     out_blk = pl.BlockSpec((1, 1, _KB), lambda g: (g, 0, 0),
                            memory_space=pltpu.SMEM)
+    f32 = jnp.float32
+    i32 = jnp.int32
+    out_dtypes = [i32, f32, f32, f32, f32, i32, f32, i32, i32][:n_out]
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            blk(),   # src
-            blk(),   # rb
-            blk(),   # cb
-            blk(),   # act
-            blk(),   # lx
-            blk(),   # ly
-            blk(),   # ratio
+        in_specs=[blk() for _ in range(7 + n_state_in)] + [
             pl.BlockSpec(memory_space=pltpu.HBM),    # stack
             pl.BlockSpec(memory_space=pltpu.VMEM),   # mask
             pl.BlockSpec(memory_space=pltpu.VMEM),   # aj
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bi
         ],
-        out_specs=[out_blk] * 6,
+        out_specs=[out_blk] * n_out,
         out_shape=[
-            jax.ShapeDtypeStruct((K // _KB, 1, _KB), jnp.int32),
-            jax.ShapeDtypeStruct((K // _KB, 1, _KB), jnp.float32),
-            jax.ShapeDtypeStruct((K // _KB, 1, _KB), jnp.float32),
-            jax.ShapeDtypeStruct((K // _KB, 1, _KB), jnp.float32),
-            jax.ShapeDtypeStruct((K // _KB, 1, _KB), jnp.float32),
-            jax.ShapeDtypeStruct((K // _KB, 1, _KB), jnp.int32),
+            jax.ShapeDtypeStruct((K // _KB, 1, _KB), dt)
+            for dt in out_dtypes
         ],
         scratch_shapes=[
             pltpu.VMEM((_KB, WINY, WINX), jnp.float32),
@@ -550,7 +584,78 @@ def _call_kernel(stack, src, rb, cb, act, lx, ly, ratio, win, H, W,
         interpret=interpret,
     )(*(a.reshape(-1, 1, _KB) for a in (src, rb, cb, act)),
       *(a.reshape(-1, 1, _KB) for a in (lx, ly, ratio)),
+      *(a.reshape(-1, 1, _KB) for a in state_in),
       stack, msk, jnp.asarray(aj), jnp.asarray(bi))
+
+
+# two-phase (or N-phase) lockstep schedule: iteration split points,
+# e.g. "6" or "4,8".  At each split the still-alive keypoints are
+# COMPACTED into dense blocks and the loop resumes — a lockstep block
+# stops paying for its slowest member across all 16 iterations.
+_PHASES_ENV = os.environ.get("HESAFF_AFFINE_PHASES", "")
+
+
+def _phase_bounds(cfg: HesaffConfig):
+    """[0, cut..., max_iterations] or None when phasing is off."""
+    if not (_LOCKSTEP and _PHASES_ENV):
+        return None
+    cuts = sorted({int(v) for v in _PHASES_ENV.split(",") if v.strip()})
+    cuts = [c for c in cuts if 0 < c < cfg.max_iterations]
+    if not cuts:
+        return None
+    return [0] + cuts + [cfg.max_iterations]
+
+
+def _run_phases(flat, src, rb, cb, act, lx, ly, ratio, win, H, W,
+                cfg: HesaffConfig, bounds, interpret: bool):
+    """Phased lockstep driver: run [b0,b1), compact survivors, resume.
+
+    Results live in absolute (padded-K) arrays; each phase gathers the
+    alive keypoints' windows metadata + carried state, runs the kernel
+    on the compacted selection, and scatters the outputs back (padding
+    slots target index Kp and drop).  Trajectories are bit-identical to
+    the single-run lockstep kernel — phases only partition the
+    iteration loop.
+    """
+    from hesaff_tpu.ops.batching import compact_indices
+
+    Kp = src.shape[0]
+    ones = jnp.ones((Kp,), jnp.float32)
+    zeros = jnp.zeros((Kp,), jnp.float32)
+    res = {
+        "ok": jnp.zeros((Kp,), jnp.int32),
+        "u11": ones, "u12": zeros, "u21": zeros, "u22": ones,
+        "iters": jnp.zeros((Kp,), jnp.int32),
+        "rbef": zeros,
+        "viol": jnp.zeros((Kp,), jnp.int32),
+        "alive": act,
+    }
+    for i0, i1 in zip(bounds[:-1], bounds[1:]):
+        idx, valid, _ = compact_indices(res["alive"] > 0, Kp)
+        actp = valid.astype(jnp.int32)
+        g = lambda a: a[idx]
+        state = (g(res["u11"]), g(res["u12"]), g(res["u21"]),
+                 g(res["u22"]), g(res["rbef"]), g(res["viol"]))
+        outs = _call_kernel(
+            flat, g(src), g(rb), g(cb), actp, g(lx), g(ly), g(ratio),
+            win, H, W, cfg, interpret=interpret,
+            state=state, it0=i0, it_end=i1,
+        )
+        ok, u11, u12, u21, u22, iters, rbef, viol, alive = (
+            o.reshape(-1) for o in outs)
+        tgt = jnp.where(valid, idx, Kp)
+        upd = lambda k, v: res[k].at[tgt].set(v, mode="drop")
+        res = {
+            "ok": upd("ok", ok),
+            "u11": upd("u11", u11), "u12": upd("u12", u12),
+            "u21": upd("u21", u21), "u22": upd("u22", u22),
+            "iters": upd("iters", iters),
+            "rbef": upd("rbef", rbef),
+            "viol": upd("viol", viol),
+            "alive": upd("alive", alive),
+        }
+    return (res["ok"], res["u11"], res["u12"], res["u21"], res["u22"],
+            res["iters"])
 
 
 def pallas_window_fits(cfg: HesaffConfig, height: int, width: int) -> bool:
@@ -610,11 +715,18 @@ def adapt_flat_pallas(blur_stacks: jnp.ndarray, img_idx, src_level,
     flat = blur_stacks.reshape(B * L, H, W)
     if Hp != H or Wp != W:
         flat = jnp.pad(flat, ((0, 0), (0, Hp - H), (0, Wp - W)))
-    outs = _call_kernel(
-        flat, src, rb, cb, act, lx, ly, ratio, win, H, W, cfg,
-        interpret=interpret,
-    )
-    ok, u11, u12, u21, u22, iters = (o.reshape(-1) for o in outs)
+    bounds = _phase_bounds(cfg)
+    if bounds is not None:
+        ok, u11, u12, u21, u22, iters = _run_phases(
+            flat, src, rb, cb, act, lx, ly, ratio, win, H, W, cfg,
+            bounds, interpret)
+    else:
+        outs = _call_kernel(
+            flat, src, rb, cb, act, lx, ly, ratio, win, H, W, cfg,
+            interpret=interpret,
+        )
+        ok, u11, u12, u21, u22, iters = (
+            o.reshape(-1) for o in outs[:6])
     sl = slice(0, K)
     return AffineResult(
         ok=ok[sl].astype(bool), u11=u11[sl], u12=u12[sl],

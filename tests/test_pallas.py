@@ -146,6 +146,57 @@ def test_pallas_affine_lockstep_matches_xla():
                                   np.asarray(out.iters)[m])
 
 
+def test_pallas_affine_two_phase_matches_xla():
+    """Phased lockstep (HESAFF_AFFINE_PHASES): stop at the split,
+    compact the still-alive keypoints, resume from carried state — the
+    final ok/U/iters must be identical to the unphased path (phases
+    only partition the iteration loop)."""
+    import jax
+
+    from hesaff_tpu.affine_shape import adapt_flat
+    from hesaff_tpu.config import HesaffConfig
+    from hesaff_tpu.ops import pallas_affine
+
+    cfg = HesaffConfig()
+    rng = np.random.default_rng(5)
+    B, L, H, W = 2, 2, 200, 160
+    stacks = jnp.asarray(_smooth_stacks(rng, B, L, H, W))
+    K = 48
+    img_idx = jnp.asarray(rng.integers(0, B, K), np.int32)
+    src = jnp.asarray(rng.integers(0, L, K), np.int32)
+    x = jnp.asarray(rng.uniform(20, W - 20, K), jnp.float32)
+    y = jnp.asarray(rng.uniform(20, H - 20, K), jnp.float32)
+    s = jnp.asarray(rng.uniform(2.0, 5.0, K), jnp.float32)
+    active = jnp.asarray(rng.uniform(size=K) > 0.2)
+
+    ref = adapt_flat(stacks, img_idx, src, x, y, s, 1.0, cfg, active=active)
+    old_lock = pallas_affine._LOCKSTEP
+    old_ph = pallas_affine._PHASES_ENV
+    pallas_affine._LOCKSTEP = True
+    pallas_affine._PHASES_ENV = "4,8"
+    jax.clear_caches()   # flags are read at trace time
+    try:
+        out = pallas_affine.adapt_flat_pallas(
+            stacks, img_idx, src, x, y, s, 1.0, cfg,
+            active=active, interpret=True)
+    finally:
+        pallas_affine._LOCKSTEP = old_lock
+        pallas_affine._PHASES_ENV = old_ph
+        jax.clear_caches()
+    act = np.asarray(active)
+    ro = np.asarray(ref.ok) & act
+    po = np.asarray(out.ok) & act
+    np.testing.assert_array_equal(ro, po)
+    m = ro & po
+    assert m.sum() >= 10
+    for f in ("u11", "u12", "u21", "u22"):
+        np.testing.assert_allclose(np.asarray(getattr(ref, f))[m],
+                                   np.asarray(getattr(out, f))[m],
+                                   rtol=1e-4, atol=5e-5)
+    np.testing.assert_array_equal(np.asarray(ref.iters)[m],
+                                  np.asarray(out.iters)[m])
+
+
 def test_pallas_affine_rolled_origin_cap():
     """Corner case of the lane-rolled window: an image whose padded
     width equals the DMA superset width (Wp == WINX) forces the aligned
