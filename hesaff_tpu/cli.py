@@ -132,6 +132,45 @@ def _cmd_fleet(args) -> int:
     return 0 if not cursor["failed"] else 1
 
 
+def _cmd_retrieve(args) -> int:
+    """Rank a feature database (fleet output dir of .npz) for a query
+    image by descriptor kNN voting — the retrieval tier the reference's
+    CVPR'09 context targets (/root/reference/README:49-53)."""
+    import glob
+    import os
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import numpy as np
+
+    from hesaff_tpu.config import HesaffConfig
+    from hesaff_tpu.pipeline import extract
+    from hesaff_tpu.retrieval import build_index, rank_images
+    from hesaff_tpu.sift_io import load_image_gray
+
+    paths = sorted(glob.glob(os.path.join(args.db, "*.npz")))
+    paths = [p for p in paths if not p.endswith("cursor.json")]
+    if not paths:
+        print(f"no .npz feature files in {args.db}", file=sys.stderr)
+        return 1
+    names, descs = [], []
+    for p in paths:
+        d = np.load(p)
+        if "desc" not in d.files or d["desc"].size == 0:
+            continue
+        names.append(os.path.splitext(os.path.basename(p))[0])
+        descs.append(d["desc"])
+    index = build_index(descs)
+    feats = extract(load_image_gray(args.image), HesaffConfig())
+    ranked = rank_images(index, feats.desc, ratio=args.ratio,
+                         top_k=min(args.topk, len(names)))
+    for img_id, votes in ranked:
+        print(f"{names[img_id]} {votes}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="hesaff_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -167,6 +206,16 @@ def main(argv=None) -> int:
                     help="3x3 homography text file (VGG H1to2p format)")
     pv.add_argument("--platform", default=None)
     pv.set_defaults(fn=_cmd_eval)
+
+    pr = sub.add_parser("retrieve",
+                        help="rank a feature database for a query image")
+    pr.add_argument("image")
+    pr.add_argument("--db", required=True,
+                    help="directory of .npz features (fleet output)")
+    pr.add_argument("--topk", type=int, default=10)
+    pr.add_argument("--ratio", type=float, default=0.9)
+    pr.add_argument("--platform", default=None)
+    pr.set_defaults(fn=_cmd_retrieve)
 
     pf = sub.add_parser("fleet",
                         help="checkpointed batch extraction over images")

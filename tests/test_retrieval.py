@@ -45,3 +45,32 @@ def test_sharded_votes_match_dense():
     mesh = make_mesh()
     votes_sharded = sharded_query_votes(mesh, index, q, ratio=0.9)
     np.testing.assert_array_equal(votes_sharded, votes_dense)
+
+
+def test_cli_retrieve_self_top1(tmp_path):
+    """fleet -> retrieve: querying with a database image ranks itself
+    first (end-to-end CLI over the .npz feature database)."""
+    from hesaff_tpu.cli import main
+    from hesaff_tpu.utils.fleet import extract_fleet
+    from tests.golden.gen_images import synth_image, write_ppm
+
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"db{i}.ppm")
+        write_ppm(p, synth_image(96, 80, seed=i))
+        paths.append(p)
+    out = str(tmp_path / "feats")
+    cursor = extract_fleet(paths, out, batch_size=3, log=lambda s: None)
+    assert len(cursor["done"]) == 3
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["retrieve", paths[1], "--db", out, "--topk", "3"])
+    assert rc == 0
+    lines = [l.split() for l in buf.getvalue().strip().splitlines()]
+    assert lines, "no ranking printed"
+    assert lines[0][0] == "db1"
+    assert int(lines[0][1]) > int(lines[-1][1]) or len(lines) == 1
