@@ -70,6 +70,12 @@ _USE_ROLL = os.environ.get("HESAFF_AFFINE_NO_ROLL", "0") != "1"
 # hiding of each chain's sample->SMM->update dependency.
 _LOCKSTEP = os.environ.get("HESAFF_AFFINE_LOCKSTEP", "0") == "1"
 
+# cross-grid-step DMA double buffering: prefetch the NEXT block's
+# windows (scalars via a +1-shifted BlockSpec view of src/rb/cb/act)
+# while computing the current block, hiding window-DMA latency behind
+# the iteration loop.  Scratch doubles: (2, KB, WINY, WINX).
+_DMA_PIPE = os.environ.get("HESAFF_AFFINE_DMA_PIPE", "0") == "1"
+
 
 def aligned_window(win: int) -> tuple[int, int]:
     """(WINY, WINX) of the tile-aligned DMA superset of a win^2 window.
@@ -90,7 +96,79 @@ def _grid_constants(win_grid: int):
     return aj.astype(np.float32), bi.astype(np.float32)
 
 
-def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int):
+def _dma_plumbing(stack_ref, wnd, sems, WINY, WINX, pipe: bool, KB: int,
+                  next_scalars=None):
+    """(start_all_current, start_all_next, wait_cur, window_of) for the
+    per-block window DMAs, single- or double-buffered.
+
+    With `pipe`, windows land in wnd[(g % 2)] and `start_all_next`
+    prefetches step g+1's windows (scalars from the +1-shifted refs in
+    `next_scalars`) into the other slot while step g computes.
+    """
+    def copy(dst_slot, sem_slot, kb, s, r, c):
+        return pltpu.make_async_copy(
+            stack_ref.at[s[0, 0, kb],
+                         pl.ds(r[0, 0, kb] * 8, WINY),
+                         pl.ds(c[0, 0, kb] * 128, WINX)],
+            wnd.at[dst_slot] if dst_slot is not None else wnd.at[kb],
+            sems.at[sem_slot] if sem_slot is not None else sems.at[kb],
+        )
+
+    if not pipe:
+        def start_cur(src_ref, rb_ref, cb_ref, act_ref):
+            for kb in range(KB):
+                @pl.when(act_ref[0, 0, kb] != 0)
+                def _(kb=kb):
+                    copy(None, None, kb, src_ref, rb_ref, cb_ref).start()
+
+        def start_nxt():
+            pass
+
+        def wait_cur(kb, src_ref, rb_ref, cb_ref):
+            copy(None, None, kb, src_ref, rb_ref, cb_ref).wait()
+
+        def window_of(kb):
+            return wnd[kb]
+
+        return start_cur, start_nxt, wait_cur, window_of
+
+    g = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    cur = jax.lax.rem(g, 2)
+    nxt = jax.lax.rem(g + 1, 2)
+    srcn_ref, rbn_ref, cbn_ref, actn_ref = next_scalars
+
+    def start_cur(src_ref, rb_ref, cb_ref, act_ref):
+        # only the first step loads its own windows; every later step's
+        # windows were prefetched by its predecessor
+        @pl.when(g == 0)
+        def _():
+            for kb in range(KB):
+                @pl.when(act_ref[0, 0, kb] != 0)
+                def _(kb=kb):
+                    copy((cur, kb), (cur, kb), kb,
+                         src_ref, rb_ref, cb_ref).start()
+
+    def start_nxt():
+        @pl.when(g + 1 < nsteps)
+        def _():
+            for kb in range(KB):
+                @pl.when(actn_ref[0, 0, kb] != 0)
+                def _(kb=kb):
+                    copy((nxt, kb), (nxt, kb), kb,
+                         srcn_ref, rbn_ref, cbn_ref).start()
+
+    def wait_cur(kb, src_ref, rb_ref, cb_ref):
+        copy((cur, kb), (cur, kb), kb, src_ref, rb_ref, cb_ref).wait()
+
+    def window_of(kb):
+        return wnd[cur, kb]
+
+    return start_cur, start_nxt, wait_cur, window_of
+
+
+def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int,
+                 pipe: bool = False):
     G = cfg.smm_window_size          # 19
     N = G * G                        # 361
     half = G >> 1
@@ -98,23 +176,20 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int):
     WINY, WINX = aligned_window(WIN)
     XL = _round_up(WIN, 128)         # rolled window lane extent
 
-    def kernel(src_ref, rb_ref, cb_ref, act_ref, lx_ref, ly_ref, ratio_ref,
-               stack_ref, mask_ref, aj_ref, bi_ref,
-               ok_ref, u11_ref, u12_ref, u21_ref, u22_ref, iters_ref,
-               wnd, sems):
-        def dma(kb):
-            return pltpu.make_async_copy(
-                stack_ref.at[src_ref[0, 0, kb],
-                             pl.ds(rb_ref[0, 0, kb] * 8, WINY),
-                             pl.ds(cb_ref[0, 0, kb] * 128, WINX)],
-                wnd.at[kb],
-                sems.at[kb],
-            )
+    def kernel(*refs):
+        (src_ref, rb_ref, cb_ref, act_ref, lx_ref, ly_ref, ratio_ref,
+         *rest) = refs
+        next_scalars = None
+        if pipe:
+            next_scalars, rest = tuple(rest[:4]), rest[4:]
+        (stack_ref, mask_ref, aj_ref, bi_ref,
+         ok_ref, u11_ref, u12_ref, u21_ref, u22_ref, iters_ref,
+         wnd, sems) = rest
+        start_cur, start_nxt, wait_cur, window_of = _dma_plumbing(
+            stack_ref, wnd, sems, WINY, WINX, pipe, KB, next_scalars)
 
-        for kb in range(KB):
-            @pl.when(act_ref[0, 0, kb] != 0)
-            def _():
-                dma(kb).start()
+        start_cur(src_ref, rb_ref, cb_ref, act_ref)
+        start_nxt()
 
         # constant (N, 1) columns: sample index p -> (j, i) in the 19x19
         # affine grid (broadcast against the lane iotas per one-hot)
@@ -130,7 +205,7 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int):
         for kb in range(KB):
             @pl.when(act_ref[0, 0, kb] != 0)
             def _():
-                dma(kb).wait()
+                wait_cur(kb, src_ref, rb_ref, cb_ref)
                 lx = lx_ref[0, 0, kb]
                 ly = ly_ref[0, 0, kb]
                 ratio = ratio_ref[0, 0, kb]
@@ -145,7 +220,7 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int):
                 shift = jnp.minimum(c0i - cb_ref[0, 0, kb] * 128,
                                     WINX - XL)
                 if _USE_ROLL:
-                    wr = pltpu.roll(wnd[kb], -shift, axis=1)[:, :XL]
+                    wr = pltpu.roll(window_of(kb), -shift, axis=1)[:, :XL]
                 else:
                     # exact narrowing via 0/1 select matmul: HIGHEST's
                     # bf16x6 reconstructs each f32 exactly under a
@@ -156,7 +231,7 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int):
                            == jax.lax.broadcasted_iota(
                                jnp.int32, (WINX, XL), 1) + shift
                            ).astype(jnp.float32)
-                    wr = jnp.dot(wnd[kb], sel,
+                    wr = jnp.dot(window_of(kb), sel,
                                  preferred_element_type=jnp.float32,
                                  precision=jax.lax.Precision.HIGHEST)
                 corig = jnp.float32(cb_ref[0, 0, kb] * 128 + shift)
@@ -299,7 +374,8 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int):
 
 
 def _make_kernel_lockstep(WIN: int, H: int, W: int, cfg: HesaffConfig,
-                          KB: int, it0: int, it_end: int):
+                          KB: int, it0: int, it_end: int,
+                          pipe: bool = False):
     """Lockstep variant: one while_loop over iterations, all KB
     keypoints advancing together with masked updates.  Same per-
     keypoint arithmetic as _make_kernel (bit-identical trajectories;
@@ -318,25 +394,22 @@ def _make_kernel_lockstep(WIN: int, H: int, W: int, cfg: HesaffConfig,
     WINY, WINX = aligned_window(WIN)
     XL = _round_up(WIN, 128)
 
-    def kernel(src_ref, rb_ref, cb_ref, act_ref, lx_ref, ly_ref, ratio_ref,
-               u11i_ref, u12i_ref, u21i_ref, u22i_ref, rbefi_ref, violi_ref,
-               stack_ref, mask_ref, aj_ref, bi_ref,
-               ok_ref, u11_ref, u12_ref, u21_ref, u22_ref, iters_ref,
-               rbef_ref, viol_ref, alive_ref,
-               wnd, whb, wlb, sems):
-        def dma(kb):
-            return pltpu.make_async_copy(
-                stack_ref.at[src_ref[0, 0, kb],
-                             pl.ds(rb_ref[0, 0, kb] * 8, WINY),
-                             pl.ds(cb_ref[0, 0, kb] * 128, WINX)],
-                wnd.at[kb],
-                sems.at[kb],
-            )
+    def kernel(*refs):
+        (src_ref, rb_ref, cb_ref, act_ref, lx_ref, ly_ref, ratio_ref,
+         u11i_ref, u12i_ref, u21i_ref, u22i_ref, rbefi_ref, violi_ref,
+         *rest) = refs
+        next_scalars = None
+        if pipe:
+            next_scalars, rest = tuple(rest[:4]), rest[4:]
+        (stack_ref, mask_ref, aj_ref, bi_ref,
+         ok_ref, u11_ref, u12_ref, u21_ref, u22_ref, iters_ref,
+         rbef_ref, viol_ref, alive_ref,
+         wnd, whb, wlb, sems) = rest
+        start_cur, start_nxt, wait_cur, window_of = _dma_plumbing(
+            stack_ref, wnd, sems, WINY, WINX, pipe, KB, next_scalars)
 
-        for kb in range(KB):
-            @pl.when(act_ref[0, 0, kb] != 0)
-            def _():
-                dma(kb).start()
+        start_cur(src_ref, rb_ref, cb_ref, act_ref)
+        start_nxt()
 
         p_col = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
         jj = p_col // G
@@ -372,8 +445,8 @@ def _make_kernel_lockstep(WIN: int, H: int, W: int, cfg: HesaffConfig,
 
             @pl.when(act_ref[0, 0, kb] != 0)
             def _(kb=kb, shift=shift):
-                dma(kb).wait()
-                wr = pltpu.roll(wnd[kb], -shift, axis=1)[:, :XL]
+                wait_cur(kb, src_ref, rb_ref, cb_ref)
+                wr = pltpu.roll(window_of(kb), -shift, axis=1)[:, :XL]
                 wh = wr.astype(jnp.bfloat16)
                 whb[kb] = wh
                 wlb[kb] = (wr - wh.astype(jnp.float32)
@@ -533,8 +606,10 @@ def _call_kernel(stack, src, rb, cb, act, lx, ly, ratio, win, H, W,
         it_end = cfg.max_iterations
 
     XL = _round_up(win, 128)
+    pipe = _DMA_PIPE
     if _LOCKSTEP:
-        kernel = _make_kernel_lockstep(win, H, W, cfg, _KB, it0, it_end)
+        kernel = _make_kernel_lockstep(win, H, W, cfg, _KB, it0, it_end,
+                                       pipe=pipe)
         extra_scratch = [
             pltpu.VMEM((_KB, WINY, XL), jnp.bfloat16),   # whb
             pltpu.VMEM((_KB, WINY, XL), jnp.bfloat16),   # wlb
@@ -548,24 +623,36 @@ def _call_kernel(stack, src, rb, cb, act, lx, ly, ratio, win, H, W,
         n_state_in, n_out = 6, 9
     else:
         assert state is None and it0 == 0 and it_end == cfg.max_iterations
-        kernel = _make_kernel(win, H, W, cfg, _KB)
+        kernel = _make_kernel(win, H, W, cfg, _KB, pipe=pipe)
         extra_scratch = []
         state_in = ()
         n_state_in, n_out = 0, 6
-    grid = (K // _KB,)
+    nsteps = K // _KB
+    grid = (nsteps,)
     # scalars ride as (G, 1, KB) blocks — trailing block dims equal the
     # array dims, the only blocked-SMEM layout Mosaic accepts
     blk = lambda: pl.BlockSpec((1, 1, _KB), lambda g: (g, 0, 0),
                                memory_space=pltpu.SMEM)
+    # +1-shifted view of the same array: step g sees step g+1's scalars
+    # (DMA prefetch operands for the double-buffered window pipeline)
+    blk_next = lambda: pl.BlockSpec(
+        (1, 1, _KB), lambda g: (jnp.minimum(g + 1, nsteps - 1), 0, 0),
+        memory_space=pltpu.SMEM)
     out_blk = pl.BlockSpec((1, 1, _KB), lambda g: (g, 0, 0),
                            memory_space=pltpu.SMEM)
     f32 = jnp.float32
     i32 = jnp.int32
     out_dtypes = [i32, f32, f32, f32, f32, i32, f32, i32, i32][:n_out]
+    n_next = 4 if pipe else 0
+    wnd_shape = ((2, _KB, WINY, WINX) if pipe else (_KB, WINY, WINX))
+    sem_shape = ((2, _KB) if pipe else (_KB,))
+    blocked = (src, rb, cb, act, lx, ly, ratio) + state_in
+    nxt_in = (src, rb, cb, act) if pipe else ()
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[blk() for _ in range(7 + n_state_in)] + [
+        in_specs=[blk() for _ in range(7 + n_state_in)]
+        + [blk_next() for _ in range(n_next)] + [
             pl.BlockSpec(memory_space=pltpu.HBM),    # stack
             pl.BlockSpec(memory_space=pltpu.VMEM),   # mask
             pl.BlockSpec(memory_space=pltpu.VMEM),   # aj
@@ -577,14 +664,13 @@ def _call_kernel(stack, src, rb, cb, act, lx, ly, ratio, win, H, W,
             for dt in out_dtypes
         ],
         scratch_shapes=[
-            pltpu.VMEM((_KB, WINY, WINX), jnp.float32),
+            pltpu.VMEM(wnd_shape, jnp.float32),
             *extra_scratch,
-            pltpu.SemaphoreType.DMA((_KB,)),
+            pltpu.SemaphoreType.DMA(sem_shape),
         ],
         interpret=interpret,
-    )(*(a.reshape(-1, 1, _KB) for a in (src, rb, cb, act)),
-      *(a.reshape(-1, 1, _KB) for a in (lx, ly, ratio)),
-      *(a.reshape(-1, 1, _KB) for a in state_in),
+    )(*(a.reshape(-1, 1, _KB) for a in blocked),
+      *(a.reshape(-1, 1, _KB) for a in nxt_in),
       stack, msk, jnp.asarray(aj), jnp.asarray(bi))
 
 

@@ -197,6 +197,57 @@ def test_pallas_affine_two_phase_matches_xla():
                                   np.asarray(out.iters)[m])
 
 
+def test_pallas_affine_dma_pipeline_matches_xla():
+    """Cross-grid-step DMA double buffering (HESAFF_AFFINE_DMA_PIPE):
+    step g prefetches step g+1's windows into the other buffer slot.
+    Results must be identical for the per-keypoint, lockstep, and
+    phased-lockstep variants."""
+    import jax
+
+    from hesaff_tpu.affine_shape import adapt_flat
+    from hesaff_tpu.config import HesaffConfig
+    from hesaff_tpu.ops import pallas_affine as pa
+
+    cfg = HesaffConfig()
+    rng = np.random.default_rng(2)
+    B, L, H, W = 2, 2, 200, 160
+    stacks = jnp.asarray(_smooth_stacks(rng, B, L, H, W))
+    K = 40
+    img_idx = jnp.asarray(rng.integers(0, B, K), np.int32)
+    src = jnp.asarray(rng.integers(0, L, K), np.int32)
+    x = jnp.asarray(rng.uniform(20, W - 20, K), jnp.float32)
+    y = jnp.asarray(rng.uniform(20, H - 20, K), jnp.float32)
+    s = jnp.asarray(rng.uniform(2.0, 5.0, K), jnp.float32)
+    active = jnp.asarray(rng.uniform(size=K) > 0.2)
+    ref = adapt_flat(stacks, img_idx, src, x, y, s, 1.0, cfg,
+                     active=active)
+
+    saved = (pa._LOCKSTEP, pa._PHASES_ENV, pa._DMA_PIPE)
+    try:
+        for lock, phases in [(False, ""), (True, ""), (True, "4,8")]:
+            pa._LOCKSTEP, pa._PHASES_ENV, pa._DMA_PIPE = lock, phases, True
+            jax.clear_caches()
+            out = pa.adapt_flat_pallas(stacks, img_idx, src, x, y, s,
+                                       1.0, cfg, active=active,
+                                       interpret=True)
+            act = np.asarray(active)
+            ro = np.asarray(ref.ok) & act
+            po = np.asarray(out.ok) & act
+            np.testing.assert_array_equal(ro, po)
+            m = ro & po
+            assert m.sum() >= 10
+            for f in ("u11", "u12", "u21", "u22"):
+                np.testing.assert_allclose(
+                    np.asarray(getattr(ref, f))[m],
+                    np.asarray(getattr(out, f))[m],
+                    rtol=1e-4, atol=5e-5)
+            np.testing.assert_array_equal(np.asarray(ref.iters)[m],
+                                          np.asarray(out.iters)[m])
+    finally:
+        pa._LOCKSTEP, pa._PHASES_ENV, pa._DMA_PIPE = saved
+        jax.clear_caches()
+
+
 def test_pallas_affine_rolled_origin_cap():
     """Corner case of the lane-rolled window: an image whose padded
     width equals the DMA superset width (Wp == WINX) forces the aligned
