@@ -26,6 +26,7 @@ lax.cond.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,10 +35,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from hesaff_tpu.config import HesaffConfig
+from hesaff_tpu.ops.pallas_util import dma_plumbing as _dma_plumbing
 from hesaff_tpu.ops.pallas_util import dot_bf16x3
 from hesaff_tpu.ops.pallas_util import round_up as _round_up
 
 _HI = jax.lax.Precision.HIGHEST
+
+# cross-grid-step DMA double buffering (see pallas_util.dma_plumbing):
+# prefetch the next block's windows while this block computes.  Window
+# scratch doubles, so it engages only where the doubled footprint fits
+# the scoped-VMEM budget (see patches_pallas).
+_DMA_PIPE = os.environ.get("HESAFF_PATCH_DMA_PIPE", "0") == "1"
 
 
 def group_geometry(bucket: int, height: int, width: int,
@@ -123,7 +131,8 @@ _ROWS = 4   # output rows per y-pass iteration (amortizes the scalar-
 
 
 def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
-                 H: int, W: int, cfg: HesaffConfig, KB: int):
+                 H: int, W: int, cfg: HesaffConfig, KB: int,
+                 pipe: bool = False):
     P = cfg.patch_size
     half_p = P >> 1
     r_blur = KMAX // 2
@@ -131,30 +140,29 @@ def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
     R = _ROWS
     bucketR = _round_up(bucket, R)
 
-    def kernel(act_ref, rb_ref, cb_ref, img_ref, ws_ref,
-               x_ref, y_ref, a11_ref, a21_ref, a22_ref, its_ref, taps_ref,
-               images_ref, patch_ref, bad_ref,
-               win, wsbuf, ysbuf, vxbuf, rowacc, badacc, padv, blurv,
-               padh, sems):
-        def dma(kb):
-            return pltpu.make_async_copy(
-                images_ref.at[img_ref[0, 0, kb],
-                              pl.ds(rb_ref[0, 0, kb] * 8, WY),
-                              pl.ds(cb_ref[0, 0, kb] * 128, WX)],
-                win.at[kb],
-                sems.at[kb],
-            )
+    def kernel(*refs):
+        (act_ref, rb_ref, cb_ref, img_ref, ws_ref,
+         x_ref, y_ref, a11_ref, a21_ref, a22_ref, its_ref, taps_ref,
+         *rest) = refs
+        next_scalars = None
+        if pipe:
+            # (+1-shifted views, ordered like dma_plumbing's contract)
+            imgn, rbn, cbn, actn = rest[:4]
+            next_scalars, rest = (imgn, rbn, cbn, actn), rest[4:]
+        (images_ref, patch_ref, bad_ref,
+         win, wsbuf, ysbuf, vxbuf, rowacc, badacc, padv, blurv,
+         padh, sems) = rest
+        start_cur, start_nxt, wait_cur, window_of = _dma_plumbing(
+            images_ref, win, sems, WY, WX, pipe, KB, next_scalars)
 
-        for kb in range(KB):
-            @pl.when(act_ref[0, 0, kb] != 0)
-            def _():
-                dma(kb).start()
+        start_cur(img_ref, rb_ref, cb_ref, act_ref)
+        start_nxt()
 
         # ---- x-pass per keypoint: ysbuf[kb] = win[kb] @ ExT ----
         for kb in range(KB):
             @pl.when(act_ref[0, 0, kb] != 0)
             def _():
-                dma(kb).wait()
+                wait_cur(kb, img_ref, rb_ref, cb_ref)
                 x = x_ref[0, 0, kb]
                 a11 = a11_ref[0, 0, kb]
                 ws = ws_ref[0, 0, kb]
@@ -175,7 +183,7 @@ def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
                     jnp.int32, (WX, bucket), 0).astype(jnp.float32)
                 ExT = jnp.maximum(
                     0.0, 1.0 - jnp.abs(iota_wx - (wxq - c0f))) * validf_x
-                ysbuf[kb] = dot_bf16x3(win[kb], ExT)   # (WY, bucket)
+                ysbuf[kb] = dot_bf16x3(window_of(kb), ExT)  # (WY, bucket)
                 vxbuf[kb] = validf_x
 
             @pl.when(act_ref[0, 0, kb] == 0)
@@ -409,12 +417,28 @@ def patches_pallas(images: jnp.ndarray, bucket: int, act, img_idx, rb, cb,
     if Hp != H or Wp != W:
         images = jnp.pad(images, ((0, 0), (0, Hp - H), (0, Wp - W)))
 
-    kernel = _make_kernel(bucket, WY, WX, KMAX, LY, H, W, cfg, KB)
-    grid = (K // KB,)
+    # double-buffered window prefetch only where the doubled scratch
+    # still fits the 16 MB scoped-VMEM budget (win dominates; ~1 MB of
+    # other scratch rides alongside)
+    scratch_bytes = 4 * (
+        2 * KB * WY * WX
+        + KB * _round_up(bucket, _ROWS) * bucket
+        + KB * WY * bucket + 3 * KB * bucket
+        + 3 * (bucket + KMAX) * (bucket + KMAX))
+    pipe = _DMA_PIPE and scratch_bytes <= 14_500_000
+    kernel = _make_kernel(bucket, WY, WX, KMAX, LY, H, W, cfg, KB,
+                          pipe=pipe)
+    nsteps = K // KB
+    grid = (nsteps,)
     # scalars ride as (G, 1, KB) blocks — trailing block dims equal the
     # array dims, the only blocked-SMEM layout Mosaic accepts
     sblk = lambda: pl.BlockSpec((1, 1, KB), lambda g: (g, 0, 0),
                                 memory_space=pltpu.SMEM)
+    # +1-shifted views: step g reads step g+1's DMA scalars (prefetch)
+    nblk = lambda: pl.BlockSpec(
+        (1, 1, KB), lambda g: (jnp.minimum(g + 1, nsteps - 1), 0, 0),
+        memory_space=pltpu.SMEM)
+    nxt_in = (img_idx, rb, cb, act) if pipe else ()
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -432,6 +456,7 @@ def patches_pallas(images: jnp.ndarray, bucket: int, act, img_idx, rb, cb,
             sblk(),  # its
             pl.BlockSpec((1, KB, KMAX), lambda g: (g, 0, 0),
                          memory_space=pltpu.SMEM),  # taps
+        ] + [nblk() for _ in nxt_in] + [
             pl.BlockSpec(memory_space=pltpu.HBM),   # images
         ],
         out_specs=[
@@ -444,7 +469,8 @@ def patches_pallas(images: jnp.ndarray, bucket: int, act, img_idx, rb, cb,
             jax.ShapeDtypeStruct((K // KB, 1, KB), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((KB, WY, WX), jnp.float32),            # win
+            pltpu.VMEM(((2, KB, WY, WX) if pipe else (KB, WY, WX)),
+                       jnp.float32),                          # win
             pltpu.VMEM((KB, _round_up(bucket, _ROWS), bucket),
                        jnp.float32),                          # wsbuf
             pltpu.VMEM((KB, WY, bucket), jnp.float32),        # ysbuf
@@ -454,12 +480,13 @@ def patches_pallas(images: jnp.ndarray, bucket: int, act, img_idx, rb, cb,
             pltpu.VMEM((bucket + KMAX - 1, bucket), jnp.float32),  # padv
             pltpu.VMEM((bucket, bucket), jnp.float32),        # blurv
             pltpu.VMEM((bucket, bucket + KMAX - 1), jnp.float32),  # padh
-            pltpu.SemaphoreType.DMA((KB,)),
+            pltpu.SemaphoreType.DMA((2, KB) if pipe else (KB,)),
         ],
         interpret=interpret,
     )(*(a.reshape(-1, 1, KB) for a in (act, rb, cb, img_idx, ws)),
       *(a.reshape(-1, 1, KB) for a in (x, y, a11, a21, a22, its)),
-      taps.reshape(-1, KB, taps.shape[1]), images)
+      taps.reshape(-1, KB, taps.shape[1]),
+      *(a.reshape(-1, 1, KB) for a in nxt_in), images)
 
 
 def extract_group_pallas(images: jnp.ndarray, bucket: int, img_idx,

@@ -332,6 +332,49 @@ def test_pallas_patches_match_bucket_path():
                                        np.asarray(pk)[m], atol=1e-3)
 
 
+def test_pallas_patches_dma_pipeline_matches():
+    """HESAFF_PATCH_DMA_PIPE double buffering: identical patches/ok to
+    the single-buffered kernel."""
+    import jax
+
+    from hesaff_tpu.config import HesaffConfig
+    from hesaff_tpu.ops import pallas_patches as pp
+
+    cfg = HesaffConfig()
+    rng = np.random.default_rng(9)
+    B, H, W = 2, 200, 160
+    images = jnp.asarray(
+        rng.normal(128, 30, (B, H, W)).astype(np.float32))
+    K = 12
+    bucket = 49
+    img_idx = jnp.asarray(rng.integers(0, B, K), jnp.int32)
+    x = jnp.asarray(rng.uniform(40, W - 40, K), jnp.float32)
+    y = jnp.asarray(rng.uniform(40, H - 40, K), jnp.float32)
+    s = jnp.asarray(rng.uniform(3.2, 4.2, K), jnp.float32)
+    a11 = jnp.asarray(rng.uniform(0.8, 1.2, K), jnp.float32)
+    a21 = jnp.asarray(rng.uniform(-0.3, 0.3, K), jnp.float32)
+    a22 = 1.0 / a11
+    active = jnp.asarray(rng.uniform(size=K) > 0.2)
+
+    ref = pp.extract_group_pallas(images, bucket, img_idx, x, y, s,
+                                  a11, a21, a22, cfg, active,
+                                  interpret=True)
+    old = pp._DMA_PIPE
+    pp._DMA_PIPE = True
+    jax.clear_caches()
+    try:
+        out = pp.extract_group_pallas(images, bucket, img_idx, x, y, s,
+                                      a11, a21, a22, cfg, active,
+                                      interpret=True)
+    finally:
+        pp._DMA_PIPE = old
+        jax.clear_caches()
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(out[1]))
+    m = np.asarray(ref[1])
+    np.testing.assert_array_equal(np.asarray(ref[0])[m],
+                                  np.asarray(out[0])[m])
+
+
 def test_pallas_sift_matches_xla():
     """Fused SIFT kernel (interpret, transposed lane-packed layout)
     matches sift_descriptors to <=1 quantization step (reduction-order
