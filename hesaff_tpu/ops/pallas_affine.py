@@ -57,8 +57,10 @@ from hesaff_tpu.ops.pallas_util import round_up as _round_up
 from hesaff_tpu.config import HesaffConfig
 from hesaff_tpu.ops.linalg import eigenvalues_2x2, inv_sqrt_2x2
 
-# keypoints per grid step (window scratch = KB * WINY * WINX * 4 bytes)
-_KB = 8
+# keypoints per grid step (window scratch = KB * WINY * WINX * 4 bytes;
+# env-tunable for on-chip sweeps — larger blocks widen the lockstep
+# body's ILP at the cost of VMEM and straggler padding)
+_KB = int(os.environ.get("HESAFF_AFFINE_KB", "8"))
 
 # narrow the window with a dynamic lane roll (cheap) vs an exact 0/1
 # select matmul (fallback if tpu.DynamicRotate fails to lower)
