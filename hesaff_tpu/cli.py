@@ -151,7 +151,6 @@ def _cmd_retrieve(args) -> int:
     from hesaff_tpu.sift_io import load_image_gray
 
     paths = sorted(glob.glob(os.path.join(args.db, "*.npz")))
-    paths = [p for p in paths if not p.endswith("cursor.json")]
     if not paths:
         print(f"no .npz feature files in {args.db}", file=sys.stderr)
         return 1
@@ -162,6 +161,10 @@ def _cmd_retrieve(args) -> int:
             continue
         names.append(os.path.splitext(os.path.basename(p))[0])
         descs.append(d["desc"])
+    if not names:
+        print(f"no usable descriptors in {args.db} "
+              f"({len(paths)} .npz files, all empty)", file=sys.stderr)
+        return 1
     index = build_index(descs)
     feats = extract(load_image_gray(args.image), HesaffConfig())
     ranked = rank_images(index, feats.desc, ratio=args.ratio,

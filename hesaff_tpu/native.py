@@ -39,44 +39,50 @@ def _load():
                     check=True, capture_output=True,
                 )
             lib = ctypes.CDLL(_LIB)
+            # binding inside the guard: a stale .so missing newer
+            # symbols must fall back to pure Python, not raise
+            _bind(lib)
         except Exception:
             return None
-        lib.hesaff_decode_pnm_gray.restype = ctypes.c_int
-        lib.hesaff_decode_pnm_gray.argtypes = [
-            ctypes.c_char_p, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-        ]
-        lib.hesaff_decode_png_gray.restype = ctypes.c_int
-        lib.hesaff_decode_png_gray.argtypes = [
-            ctypes.c_char_p, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-        ]
-        lib.hesaff_write_sift.restype = ctypes.c_int
-        lib.hesaff_write_sift.argtypes = [ctypes.c_char_p, ctypes.c_int64] + [
-            ctypes.POINTER(ctypes.c_double)
-        ] * 5 + [ctypes.POINTER(ctypes.c_uint8)]
-        lib.hesaff_read_sift.restype = ctypes.c_int64
-        lib.hesaff_read_sift.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_double),
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
-        ]
-        lib.hesaff_loader_create.restype = ctypes.c_void_p
-        lib.hesaff_loader_create.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ]
-        lib.hesaff_loader_next.restype = ctypes.c_int
-        lib.hesaff_loader_next.argtypes = [
-            ctypes.c_void_p] + [ctypes.POINTER(ctypes.c_int32)] * 4
-        lib.hesaff_loader_fetch.restype = ctypes.c_int
-        lib.hesaff_loader_fetch.argtypes = [
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
-        lib.hesaff_loader_destroy.restype = None
-        lib.hesaff_loader_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
+
+
+def _bind(lib) -> None:
+    lib.hesaff_decode_pnm_gray.restype = ctypes.c_int
+    lib.hesaff_decode_pnm_gray.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.hesaff_decode_png_gray.restype = ctypes.c_int
+    lib.hesaff_decode_png_gray.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.hesaff_write_sift.restype = ctypes.c_int
+    lib.hesaff_write_sift.argtypes = [ctypes.c_char_p, ctypes.c_int64] + [
+        ctypes.POINTER(ctypes.c_double)
+    ] * 5 + [ctypes.POINTER(ctypes.c_uint8)]
+    lib.hesaff_read_sift.restype = ctypes.c_int64
+    lib.hesaff_read_sift.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
+    lib.hesaff_loader_create.restype = ctypes.c_void_p
+    lib.hesaff_loader_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.hesaff_loader_next.restype = ctypes.c_int
+    lib.hesaff_loader_next.argtypes = [
+        ctypes.c_void_p] + [ctypes.POINTER(ctypes.c_int32)] * 4
+    lib.hesaff_loader_fetch.restype = ctypes.c_int
+    lib.hesaff_loader_fetch.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+    lib.hesaff_loader_destroy.restype = None
+    lib.hesaff_loader_destroy.argtypes = [ctypes.c_void_p]
 
 
 def available() -> bool:

@@ -389,9 +389,12 @@ def _make_kernel_lockstep(WIN: int, H: int, W: int, cfg: HesaffConfig,
                 whb[kb] = jnp.zeros((WINY, XL), jnp.bfloat16)
                 wlb[kb] = jnp.zeros((WINY, XL), jnp.bfloat16)
 
-        act0 = jnp.stack([
-            jnp.full((1, 1), act_ref[0, 0, kb] != 0) for kb in range(KB)
-        ])                                               # (KB, 1, 1)
+        # (KB, 1, 1) SMEM-scalar stack (a bare scalar stack + reshape
+        # is an unsupported Mosaic shape cast)
+        stk = lambda ref, dt: jnp.stack([
+            jnp.full((1, 1), ref[0, 0, kb]).astype(dt) for kb in range(KB)
+        ])
+        act0 = stk(act_ref, jnp.int32) != 0
 
         def cond(state):
             return jnp.any(state[5]) & (state[9] < it_end)
@@ -479,9 +482,6 @@ def _make_kernel_lockstep(WIN: int, H: int, W: int, cfg: HesaffConfig,
                      converged, conv_iter, violated, it + 1)
             return state
 
-        stk = lambda ref, dt: jnp.stack([
-            jnp.full((1, 1), ref[0, 0, kb]).astype(dt) for kb in range(KB)
-        ])                                               # (KB, 1, 1)
         init = (stk(u11i_ref, jnp.float32), stk(u12i_ref, jnp.float32),
                 stk(u21i_ref, jnp.float32), stk(u22i_ref, jnp.float32),
                 stk(rbefi_ref, jnp.float32),

@@ -417,15 +417,34 @@ def patches_pallas(images: jnp.ndarray, bucket: int, act, img_idx, rb, cb,
     if Hp != H or Wp != W:
         images = jnp.pad(images, ((0, 0), (0, Hp - H), (0, Wp - W)))
 
+    def scratch_for(pipe: bool):
+        return [
+            pltpu.VMEM(((2, KB, WY, WX) if pipe else (KB, WY, WX)),
+                       jnp.float32),                          # win
+            pltpu.VMEM((KB, _round_up(bucket, _ROWS), bucket),
+                       jnp.float32),                          # wsbuf
+            pltpu.VMEM((KB, WY, bucket), jnp.float32),        # ysbuf
+            pltpu.VMEM((KB, 1, bucket), jnp.float32),         # vxbuf
+            pltpu.VMEM((KB, 1, bucket), jnp.float32),         # rowacc
+            pltpu.VMEM((KB, 1, bucket), jnp.float32),         # badacc
+            pltpu.VMEM((bucket + KMAX - 1, bucket), jnp.float32),  # padv
+            pltpu.VMEM((bucket, bucket), jnp.float32),        # blurv
+            pltpu.VMEM((bucket, bucket + KMAX - 1), jnp.float32),  # padh
+        ]
+
+    def vmem_bytes(shapes):
+        total = 0
+        for s in shapes:
+            n = 1
+            for d in s.shape:
+                n *= d
+            total += 4 * n
+        return total
+
     # double-buffered window prefetch only where the doubled scratch
-    # still fits the 16 MB scoped-VMEM budget (win dominates; ~1 MB of
-    # other scratch rides alongside)
-    scratch_bytes = 4 * (
-        2 * KB * WY * WX
-        + KB * _round_up(bucket, _ROWS) * bucket
-        + KB * WY * bucket + 3 * KB * bucket
-        + 3 * (bucket + KMAX) * (bucket + KMAX))
-    pipe = _DMA_PIPE and scratch_bytes <= 14_500_000
+    # still fits the 16 MB scoped-VMEM budget (derived from the actual
+    # scratch list so the estimate cannot drift from the allocation)
+    pipe = _DMA_PIPE and vmem_bytes(scratch_for(True)) <= 14_500_000
     kernel = _make_kernel(bucket, WY, WX, KMAX, LY, H, W, cfg, KB,
                           pipe=pipe)
     nsteps = K // KB
@@ -468,18 +487,7 @@ def patches_pallas(images: jnp.ndarray, bucket: int, act, img_idx, rb, cb,
             jax.ShapeDtypeStruct((K, P, P), jnp.float32),
             jax.ShapeDtypeStruct((K // KB, 1, KB), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM(((2, KB, WY, WX) if pipe else (KB, WY, WX)),
-                       jnp.float32),                          # win
-            pltpu.VMEM((KB, _round_up(bucket, _ROWS), bucket),
-                       jnp.float32),                          # wsbuf
-            pltpu.VMEM((KB, WY, bucket), jnp.float32),        # ysbuf
-            pltpu.VMEM((KB, 1, bucket), jnp.float32),         # vxbuf
-            pltpu.VMEM((KB, 1, bucket), jnp.float32),         # rowacc
-            pltpu.VMEM((KB, 1, bucket), jnp.float32),         # badacc
-            pltpu.VMEM((bucket + KMAX - 1, bucket), jnp.float32),  # padv
-            pltpu.VMEM((bucket, bucket), jnp.float32),        # blurv
-            pltpu.VMEM((bucket, bucket + KMAX - 1), jnp.float32),  # padh
+        scratch_shapes=scratch_for(pipe) + [
             pltpu.SemaphoreType.DMA((2, KB) if pipe else (KB,)),
         ],
         interpret=interpret,

@@ -91,7 +91,8 @@ int decode_file(const std::string &path, std::vector<float> &pix,
                         (data[18] << 8) | data[19];
     const uint64_t ht = ((uint64_t)data[20] << 24) | (data[21] << 16) |
                         (data[22] << 8) | data[23];
-    if (wd == 0 || ht == 0 || wd * ht > (1ull << 31)) return 1;
+    // 2^27 px (512 MB of floats) bounds hostile-header allocations
+    if (wd == 0 || ht == 0 || wd * ht > (1ull << 27)) return 1;
     pix.resize((size_t)(wd * ht));
     return hesaff_decode_png_gray(data.data(), size, pix.data(),
                                   (int64_t)(wd * ht), w, h) == 0 ? 0 : 1;
@@ -142,8 +143,16 @@ void worker(Loader *L) {
     }
     int32_t w = 0, h = 0;
     Slot tmp;
-    tmp.rc = decode_file(L->paths[(size_t)i], pix, &w, &h);
-    if (tmp.rc == 0) edge_pad(pix, w, h, L->pad_multiple, tmp);
+    // decode failures of ANY kind (parse error, hostile header, alloc
+    // failure) must surface as a per-image rc, not kill the process —
+    // an exception escaping a thread entry calls std::terminate
+    try {
+      tmp.rc = decode_file(L->paths[(size_t)i], pix, &w, &h);
+      if (tmp.rc == 0) edge_pad(pix, w, h, L->pad_multiple, tmp);
+    } catch (...) {
+      tmp.rc = 1;
+      tmp.pix.clear();
+    }
     tmp.ready = true;
     Slot &slot = L->ring[(size_t)(i % L->queue_cap)];
     {
