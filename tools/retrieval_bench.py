@@ -1,0 +1,143 @@
+"""Oxford5k-style retrieval benchmark (BASELINE config #4).
+
+Extracts features for a synthetic corpus with the batched TPU pipeline,
+builds the descriptor index, runs vote-ranked queries (each query is a
+homography-warped corpus image — its source must rank #1), and prints
+one JSON line: corpus size, extraction throughput, query latency, and
+top-1 retrieval accuracy.
+
+Usage:  python tools/retrieval_bench.py [--n 1024] [--queries 32]
+        [--batch 32] [--width 256 --height 208] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tests", "golden"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1024)
+    ap.add_argument("--queries", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--height", type=int, default=208)
+    ap.add_argument("--cap", type=int, default=256)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.join(_ROOT, ".jax_cache"))
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    import gen_images
+    from hesaff_tpu.config import HesaffConfig
+    from hesaff_tpu.dist import default_bucket_spec, extraction_step_staged
+    from hesaff_tpu.retrieval import DescriptorIndex, rank_images
+
+    cfg = HesaffConfig()
+    H, W, B = args.height, args.width, args.batch
+    buckets = default_bucket_spec(H, W, cfg, per_image_cap=args.cap,
+                                  batch=B)
+    step = lambda im: extraction_step_staged(im, cfg, buckets)
+
+    rng = np.random.default_rng(0)
+    n = (args.n + B - 1) // B * B
+
+    def corpus_image(i):
+        return (gen_images.synth_image(W, H, seed=int(i))
+                .astype(np.float32).mean(axis=-1))
+
+    # --- extraction over the corpus, pipelined 2 batches in flight ---
+    descs, owners = [], []
+    t0 = time.perf_counter()
+    inflight = []
+    n_desc = 0
+    for b0 in range(0, n, B):
+        imgs = jnp.asarray(np.stack([corpus_image(i)
+                                     for i in range(b0, b0 + B)]))
+        inflight.append((b0, step(imgs)))
+        while len(inflight) > 2:
+            bb, out = inflight.pop(0)
+            valid = np.asarray(out.valid)
+            dd = np.asarray(out.desc)
+            ii = np.asarray(out.img_idx)
+            keep = valid
+            descs.append(dd[keep])
+            owners.append(bb + ii[keep])
+            n_desc += int(keep.sum())
+    for bb, out in inflight:
+        valid = np.asarray(out.valid)
+        descs.append(np.asarray(out.desc)[valid])
+        owners.append(bb + np.asarray(out.img_idx)[valid])
+        n_desc += int(valid.sum())
+    t_extract = time.perf_counter() - t0
+
+    index = DescriptorIndex(
+        desc=np.concatenate(descs).astype(np.float32),
+        image_id=np.concatenate(owners).astype(np.int32),
+        n_images=n,
+    )
+
+    # --- queries: warped corpus images; source must rank #1 ---
+    qids = rng.choice(n, size=args.queries, replace=False)
+    hits = 0
+    t0 = time.perf_counter()
+    for qi in qids:
+        img = corpus_image(qi)
+        ang = rng.uniform(-0.15, 0.15)
+        c, s = np.cos(ang), np.sin(ang)
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        cx, cy = W / 2, H / 2
+        sx = c * (xx - cx) - s * (yy - cy) + cx
+        sy = s * (xx - cx) + c * (yy - cy) + cy
+        x0 = np.clip(sx.astype(np.int32), 0, W - 2)
+        y0 = np.clip(sy.astype(np.int32), 0, H - 2)
+        fx = np.clip(sx - x0, 0, 1)
+        fy = np.clip(sy - y0, 0, 1)
+        warped = ((1 - fy) * ((1 - fx) * img[y0, x0]
+                              + fx * img[y0, x0 + 1])
+                  + fy * ((1 - fx) * img[y0 + 1, x0]
+                          + fx * img[y0 + 1, x0 + 1]))
+        out = step(jnp.asarray(np.broadcast_to(
+            warped, (B, H, W)).copy()))
+        valid = np.asarray(out.valid) & (np.asarray(out.img_idx) == 0)
+        qdesc = np.asarray(out.desc)[valid]
+        ranked = rank_images(index, qdesc, top_k=5)
+        if ranked and ranked[0][0] == qi:
+            hits += 1
+    t_query = (time.perf_counter() - t0) / max(1, args.queries)
+
+    print(json.dumps({
+        "metric": "retrieval_bench",
+        "corpus": n,
+        "descriptors": n_desc,
+        "extract_img_per_s": round(n / t_extract, 1),
+        "extract_desc_per_s": round(n_desc / t_extract, 1),
+        "query_latency_s": round(t_query, 3),
+        "top1_accuracy": round(hits / max(1, args.queries), 3),
+        "platform": jax.devices()[0].platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()
