@@ -47,6 +47,11 @@ _HI = jax.lax.Precision.HIGHEST
 # the scoped-VMEM budget (see patches_pallas).
 _DMA_PIPE = os.environ.get("HESAFF_PATCH_DMA_PIPE", "0") == "1"
 
+# PROFILING ONLY (breaks output parity): truncate the kernel after the
+# x-pass ("xonly") or skip the per-keypoint blur ("noblur") so on-chip
+# timing differences attribute the kernel's internal stages.
+_PROFILE = os.environ.get("HESAFF_PATCH_PROFILE", "")
+
 
 def group_geometry(bucket: int, height: int, width: int,
                    patch_size: int, smooth_factor: float,
@@ -306,6 +311,12 @@ def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
             narrow_ok = narrow_ok & ((spank <= LYN - 10) | inactive)
             fast_ok = fast_ok & ((spank <= LY - 10) | inactive)
         nR = bucketR // R
+        if _PROFILE == "xonly":
+            # profiling cut: only the DMA + x-pass ran; emit dummies
+            for kb in range(KB):
+                patch_ref[kb] = jnp.zeros((P, P), jnp.float32)
+                bad_ref[0, 0, kb] = 1
+            return
         if LYN < LY:
             jax.lax.cond(
                 narrow_ok,
@@ -338,22 +349,27 @@ def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
                 # blur accumulates through scratch refs with STATIC
                 # slices (an unrolled KMAX-term value chain makes Mosaic
                 # materialize every term — 64 MB at bucket 385)
-                padv[0:r_blur, :] = jnp.broadcast_to(
-                    wsbuf[kb, 0:1, :], (r_blur, bucket))
-                padv[r_blur:r_blur + bucket, :] = wsbuf[kb, 0:bucket, :]
-                padv[r_blur + bucket:, :] = jnp.broadcast_to(
-                    wsbuf[kb, bucket - 1:bucket, :], (r_blur, bucket))
-                blurv[:] = taps_ref[0, kb, 0] * padv[0:bucket, :]
-                for t in range(1, KMAX):
-                    blurv[:] += taps_ref[0, kb, t] * padv[t:t + bucket, :]
-                padh[:, 0:r_blur] = jnp.broadcast_to(
-                    blurv[:, 0:1], (bucket, r_blur))
-                padh[:, r_blur:r_blur + bucket] = blurv[:]
-                padh[:, r_blur + bucket:] = jnp.broadcast_to(
-                    blurv[:, bucket - 1:bucket], (bucket, r_blur))
-                blurv[:] = taps_ref[0, kb, 0] * padh[:, 0:bucket]
-                for t in range(1, KMAX):
-                    blurv[:] += taps_ref[0, kb, t] * padh[:, t:t + bucket]
+                if _PROFILE == "noblur":
+                    blurv[:] = wsbuf[kb, 0:bucket, :]   # profiling cut
+                else:
+                    padv[0:r_blur, :] = jnp.broadcast_to(
+                        wsbuf[kb, 0:1, :], (r_blur, bucket))
+                    padv[r_blur:r_blur + bucket, :] = wsbuf[kb, 0:bucket, :]
+                    padv[r_blur + bucket:, :] = jnp.broadcast_to(
+                        wsbuf[kb, bucket - 1:bucket, :], (r_blur, bucket))
+                    blurv[:] = taps_ref[0, kb, 0] * padv[0:bucket, :]
+                    for t in range(1, KMAX):
+                        blurv[:] += (taps_ref[0, kb, t]
+                                     * padv[t:t + bucket, :])
+                    padh[:, 0:r_blur] = jnp.broadcast_to(
+                        blurv[:, 0:1], (bucket, r_blur))
+                    padh[:, r_blur:r_blur + bucket] = blurv[:]
+                    padh[:, r_blur + bucket:] = jnp.broadcast_to(
+                        blurv[:, bucket - 1:bucket], (bucket, r_blur))
+                    blurv[:] = taps_ref[0, kb, 0] * padh[:, 0:bucket]
+                    for t in range(1, KMAX):
+                        blurv[:] += (taps_ref[0, kb, t]
+                                     * padh[:, t:t + bucket])
 
                 # subsample: patch = S @ blurred @ ST
                 ofs = jnp.float32(ws >> 1)
