@@ -79,6 +79,11 @@ _LOCKSTEP = os.environ.get("HESAFF_AFFINE_LOCKSTEP", "0") == "1"
 # the iteration loop.  Scratch doubles: (2, KB, WINY, WINX).
 _DMA_PIPE = os.environ.get("HESAFF_AFFINE_DMA_PIPE", "0") == "1"
 
+# PROFILING ONLY (breaks output parity): "prologue" truncates the
+# per-keypoint kernel after DMA + roll + bf16 split, attributing the
+# stage time between window setup and the iteration loop.
+_PROFILE = os.environ.get("HESAFF_AFFINE_PROFILE", "")
+
 
 def aligned_window(win: int) -> tuple[int, int]:
     """(WINY, WINX) of the tile-aligned DMA superset of a win^2 window.
@@ -171,6 +176,20 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int,
                 # of the bf16x3 sampling matmul)
                 wh = wr.astype(jnp.bfloat16)
                 wl = (wr - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+                if _PROFILE == "prologue":
+                    # profiling cut: consume the split so it isn't dead,
+                    # skip the iteration loop entirely
+                    ok_ref[0, 0, kb] = (
+                        jnp.sum(wh.astype(jnp.float32))
+                        + jnp.sum(wl.astype(jnp.float32)) > 1e30
+                    ).astype(jnp.int32)
+                    u11_ref[0, 0, kb] = 0.0
+                    u12_ref[0, 0, kb] = 0.0
+                    u21_ref[0, 0, kb] = 0.0
+                    u22_ref[0, 0, kb] = 0.0
+                    iters_ref[0, 0, kb] = 0
+                    return
 
                 # the iteration state lives as (1, 1) VECTOR values: the
                 # SMM reductions keep dims, invSqrt/eigen run as (1, 1)
