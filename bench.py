@@ -210,8 +210,21 @@ def main():
         step = lambda im: extraction_step_staged(im, cfg, buckets)
 
     t0 = time.perf_counter()
-    out = step(images)
-    jax.block_until_ready(out)
+    try:
+        out = step(images)
+        jax.block_until_ready(out)
+    except Exception as e:
+        # fail-safe: a Pallas/Mosaic compile regression on the driver's
+        # toolchain must degrade to the XLA twin, never kill the bench
+        print(f"# grouped path failed ({type(e).__name__}: "
+              f"{str(e).splitlines()[0][:200]}); falling back to the "
+              f"staged XLA path", file=sys.stderr)
+        buckets = default_bucket_spec(args.height, args.width, cfg,
+                                      per_image_cap=args.cap,
+                                      batch=args.batch)
+        step = lambda im: extraction_step_staged(im, cfg, buckets)
+        out = step(images)
+        jax.block_until_ready(out)
     t_compile = time.perf_counter() - t0
 
     if args.stages and on_tpu:

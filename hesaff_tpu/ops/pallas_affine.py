@@ -199,13 +199,20 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int,
                 # scalar<->vector ping-pong dominated iteration latency)
                 ratio_v = jnp.full((1, 1), ratio)
 
+                # mask carries ride as i32 0/1 vectors: Mosaic (current
+                # libtpu) fails to legalize scf.yield of vector<i1>
+                # loop carries ("failed to legalize operation
+                # 'scf.yield'"), so booleans only live inside the body
                 def cond(state):
                     (_, _, _, _, _, alive, _, _, _, it) = state
-                    return jnp.any(alive) & (it < cfg.max_iterations)
+                    return jnp.any(alive != 0) & (it < cfg.max_iterations)
 
                 def body(state):
-                    (u11, u12, u21, u22, ratio_bef, alive, converged,
-                     conv_iter, violated, it) = state
+                    (u11, u12, u21, u22, ratio_bef, alive_i, converged_i,
+                     conv_iter, violated_i, it) = state
+                    alive = alive_i != 0
+                    converged = converged_i != 0
+                    violated = violated_i != 0
                     a11r = u11 * ratio_v
                     a12r = u12 * ratio_v
                     a21r = u21 * ratio_v
@@ -292,20 +299,23 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int,
                     conv_iter = jnp.where(just_conv, it, conv_iter)
                     converged = converged | just_conv
                     alive = alive & ~aniso_bad & ~just_conv
-                    return (n11, n12, n21, n22, ratio_act, alive,
-                            converged, conv_iter, violated, it + 1)
+                    return (n11, n12, n21, n22, ratio_act,
+                            alive.astype(jnp.int32),
+                            converged.astype(jnp.int32),
+                            conv_iter,
+                            violated.astype(jnp.int32), it + 1)
 
                 one = jnp.ones((1, 1), jnp.float32)
                 zero = jnp.zeros((1, 1), jnp.float32)
                 init = (one, zero, zero, one, zero,
-                        jnp.ones((1, 1), bool),
-                        jnp.zeros((1, 1), bool),
+                        jnp.ones((1, 1), jnp.int32),
                         jnp.zeros((1, 1), jnp.int32),
-                        jnp.zeros((1, 1), bool), jnp.int32(0))
+                        jnp.zeros((1, 1), jnp.int32),
+                        jnp.zeros((1, 1), jnp.int32), jnp.int32(0))
                 (u11, u12, u21, u22, _, _, converged, conv_iter,
                  violated, _) = jax.lax.while_loop(cond, body, init)
                 ok_ref[0, 0, kb] = jnp.any(
-                    converged & ~violated).astype(jnp.int32)
+                    (converged != 0) & (violated == 0)).astype(jnp.int32)
                 u11_ref[0, 0, kb] = jnp.sum(u11)
                 u12_ref[0, 0, kb] = jnp.sum(u12)
                 u21_ref[0, 0, kb] = jnp.sum(u21)
@@ -413,14 +423,20 @@ def _make_kernel_lockstep(WIN: int, H: int, W: int, cfg: HesaffConfig,
         stk = lambda ref, dt: jnp.stack([
             jnp.full((1, 1), ref[0, 0, kb]).astype(dt) for kb in range(KB)
         ])
-        act0 = stk(act_ref, jnp.int32) != 0
+        act0_i = stk(act_ref, jnp.int32)
+        act0 = act0_i != 0
 
+        # mask carries as i32 0/1 (Mosaic cannot legalize vector<i1>
+        # scf.yield operands — see _make_kernel)
         def cond(state):
-            return jnp.any(state[5]) & (state[9] < it_end)
+            return jnp.any(state[5] != 0) & (state[9] < it_end)
 
         def body(state):
-            (u11, u12, u21, u22, ratio_bef, alive, converged,
-             conv_iter, violated, it) = state
+            (u11, u12, u21, u22, ratio_bef, alive_i, converged_i,
+             conv_iter, violated_i, it) = state
+            alive = alive_i != 0
+            converged = converged_i != 0
+            violated = violated_i != 0
             a_l, b_l, c_l, ow_l = [], [], [], []
             for kb in range(KB):
                 a11r = u11[kb] * ratio_v[kb]
@@ -497,21 +513,25 @@ def _make_kernel_lockstep(WIN: int, H: int, W: int, cfg: HesaffConfig,
             ratio_bef = jnp.where(alive, ratio_act, ratio_bef)
             state = (upd(n11, u11), upd(n12, u12), upd(n21, u21),
                      upd(n22, u22), ratio_bef,
-                     alive & ~aniso_bad & ~just_conv,
-                     converged, conv_iter, violated, it + 1)
+                     (alive & ~aniso_bad & ~just_conv).astype(jnp.int32),
+                     converged.astype(jnp.int32), conv_iter,
+                     violated.astype(jnp.int32), it + 1)
             return state
 
         init = (stk(u11i_ref, jnp.float32), stk(u12i_ref, jnp.float32),
                 stk(u21i_ref, jnp.float32), stk(u22i_ref, jnp.float32),
                 stk(rbefi_ref, jnp.float32),
-                act0,                 # selected keypoints are alive by
+                act0_i,               # selected keypoints are alive by
                                       # contract (compaction drops the
                                       # converged/dead before resume)
-                jnp.zeros((KB, 1, 1), bool),
                 jnp.zeros((KB, 1, 1), jnp.int32),
-                stk(violi_ref, jnp.int32) != 0, jnp.int32(it0))
-        (u11, u12, u21, u22, rbef, alive, converged, conv_iter,
-         violated, _) = jax.lax.while_loop(cond, body, init)
+                jnp.zeros((KB, 1, 1), jnp.int32),
+                stk(violi_ref, jnp.int32), jnp.int32(it0))
+        (u11, u12, u21, u22, rbef, alive_i, converged_i, conv_iter,
+         violated_i, _) = jax.lax.while_loop(cond, body, init)
+        alive = alive_i != 0
+        converged = converged_i != 0
+        violated = violated_i != 0
         okv = converged & ~violated & (act0)
         for kb in range(KB):
             ok_ref[0, 0, kb] = jnp.any(okv[kb]).astype(jnp.int32)

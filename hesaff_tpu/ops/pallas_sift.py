@@ -38,6 +38,40 @@ from hesaff_tpu.ops import masks
 
 _KL = 128   # patches per grid step (one lane tile)
 
+# atan(t) ~= t * P(t^2) on [0, 1]: degree-17 odd least-squares fit on
+# Chebyshev nodes; |err| <= 1.2e-7 rad in f32 Horner evaluation — an
+# orientation-weight error ~1.5e-7, three orders below the 1/512
+# descriptor quantization step.  Needed because Mosaic has no atan2
+# lowering (jnp.arctan2 raises NotImplementedError in Pallas TPU).
+_ATAN_COEFFS = (
+    0.9999999, -0.33332658, 0.19986537, -0.14164333, 0.1050732,
+    -0.07247951, 0.03989956, -0.014458697, 0.0024682467,
+)
+
+
+def _atan2_poly(y, x):
+    """Octant-reduced polynomial atan2 matching np.arctan2 to ~1e-7 rad.
+
+    atan2(0, 0) returns 0 (reference semantics: zero-magnitude pixels
+    contribute val=0, but the orientation must stay finite so 0*w
+    doesn't turn NaN).  The +/-pi boundary may differ in sign from the
+    libm result; orientation-bin space is 2*pi-periodic so binning is
+    unaffected.
+    """
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    num = jnp.minimum(ax, ay)
+    den = jnp.maximum(ax, ay)
+    t = num / jnp.where(den == 0.0, 1.0, den)
+    z2 = t * t
+    acc = jnp.full_like(t, _ATAN_COEFFS[-1])
+    for c in _ATAN_COEFFS[-2::-1]:
+        acc = acc * z2 + c
+    r = acc * t
+    r = jnp.where(ay > ax, np.float32(np.pi / 2) - r, r)
+    r = jnp.where(x < 0.0, np.float32(np.pi) - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
 
 def _spatial_pair_matrix(P: int, sb: int) -> np.ndarray:
     """(sb*sb, P*P) constant: S2[br*sb+bc, r*P+c] = W[r,br] * W[c,bc]."""
@@ -88,7 +122,7 @@ def _make_kernel(P: int, PPp: int, cfg: HesaffConfig):
         gy = (x * r1 + (1.0 - r1) * shup(x, P)) \
             - (x * r0 + (1.0 - r0) * shdn(x, P))
         mag = jnp.sqrt(gx * gx + gy * gy)
-        ori = jnp.arctan2(gy, gx)
+        ori = _atan2_poly(gy, gx)
         val = msk * mag
 
         # orientation split (siftdesc.cpp:64-72)
