@@ -468,7 +468,11 @@ def detect_octave_batch(resps, blurs, sig, pd: float, cfg: HesaffConfig,
     cap = cfg.level_capacity(H, W, octave)
     acap = cfg.affine_capacity(H, W, octave)
 
-    pre_r, pre_c, pre_v, pre_o, pre_n, pre_m = [], [], [], [], [], []
+    # walk each level's candidates right after building that level's
+    # channel pack, so only ONE (B, H, W, 8) map is live at a time —
+    # stacking all 3 levels ((B*3, H, W, 8) f32) was the batch-scaling
+    # memory wall (25 GB at batch 32 on 800x640, > the 16 GB HBM)
+    per_level, pre_o, pre_n = [], [], []
     for l in (1, 2, 3):
         def pre(low, cur, high, blur, vhw=None):
             mask, allm = _level_maps(low, cur, high, blur, cfg,
@@ -481,33 +485,30 @@ def detect_octave_batch(resps, blurs, sig, pd: float, cfg: HesaffConfig,
             outs = jax.vmap(lambda lo, cu, hi, b: pre(lo, cu, hi, b))(*args)
         else:
             outs = jax.vmap(pre)(*args, valid_hw)
-        for lst, o in zip((pre_r, pre_c, pre_v, pre_o, pre_n, pre_m), outs):
-            lst.append(o)
+        rows, cols, valid, ov, nc, allm = outs
+        pre_o.append(ov)
+        pre_n.append(nc)
 
-    # (B, 3, cap) candidate slots; (B*3, H, W, 8) stacked channel packs
-    rows3 = jnp.stack(pre_r, 1)
-    cols3 = jnp.stack(pre_c, 1)
-    valid3 = jnp.stack(pre_v, 1)
-    allm_flat = jnp.stack(pre_m, 1).reshape(B * 3, H, W, 8)
+        # flat cross-image walk for this level (runtime-skipped chunks)
+        total_l = B * cap
+        idx, pv, _ = compact_indices(valid.reshape(-1), total_l)
+        src = (idx // cap).astype(jnp.int32)      # image plane
+        r0 = rows.reshape(-1)[idx]
+        c0 = cols.reshape(-1)[idx]
+        walked = chunked_vmap(
+            lambda s_i, rr, cc: _walk_one_flat(
+                allm, s_i, rr, cc, jnp.float32(sig[l]), jnp.float32(pd),
+                H, W, cfg),
+            (src, r0, c0), chunk, active=pv)
+        safe = jnp.where(pv, idx, total_l)        # padding scatters drop
+        scat = lambda v: jnp.zeros((total_l,), v.dtype).at[safe].set(
+            v, mode="drop").reshape(B, cap)
+        per_level.append([scat(v) for v in walked])
 
-    total = B * 3 * cap
-    idx, pv, _ = compact_indices(valid3.reshape(-1), total)  # permutation
-    src = idx // cap                     # img * 3 + (level - 1)
-    lvl_i = src % 3
-    r0 = rows3.reshape(-1)[idx]
-    c0 = cols3.reshape(-1)[idx]
-    sig_arr = jnp.asarray([float(sig[l]) for l in (1, 2, 3)], jnp.float32)
-    cs = sig_arr[lvl_i]
-
-    walked = chunked_vmap(
-        lambda s_i, rr, cc, curs: _walk_one_flat(
-            allm_flat, s_i, rr, cc, curs, jnp.float32(pd), H, W, cfg),
-        (src, r0, c0, cs), chunk, active=pv)
-
-    safe = jnp.where(pv, idx, total)     # padding scatters drop
-    scat = lambda v: jnp.zeros((total,), v.dtype).at[safe].set(
-        v, mode="drop").reshape(B, 3, cap)
-    okw, xw, yw, sw, valw, tw, rfw, cfw = [scat(v) for v in walked]
+    # (B, 3, cap) stacks in level order for dedup/compaction
+    okw, xw, yw, sw, valw, tw, rfw, cfw = (
+        jnp.stack([lvl[i] for lvl in per_level], axis=1)
+        for i in range(8))
 
     order = jnp.arange(cap, dtype=jnp.int32)
 
