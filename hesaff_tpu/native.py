@@ -16,7 +16,8 @@ import numpy as np
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRCS = [os.path.join(_ROOT, "native", f)
-         for f in ("hesaff_io.cpp", "hesaff_loader.cpp")]
+         for f in ("hesaff_io.cpp", "hesaff_jpeg.cpp",
+                   "hesaff_loader.cpp")]
 _LIB = os.path.join(_ROOT, "native", "libhesaff_io.so")
 _lock = threading.Lock()
 _lib = None
@@ -59,6 +60,17 @@ def _bind(lib) -> None:
     lib.hesaff_decode_png_gray.argtypes = [
         ctypes.c_char_p, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.hesaff_decode_jpeg_gray.restype = ctypes.c_int
+    lib.hesaff_decode_jpeg_gray.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.hesaff_jpeg_dims.restype = ctypes.c_int
+    lib.hesaff_jpeg_dims.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
     ]
     lib.hesaff_write_sift.restype = ctypes.c_int
@@ -111,6 +123,32 @@ def decode_png_gray(data: bytes):
     if rc != 0:
         return None
     return out[: w.value * h.value].reshape(h.value, w.value)
+
+
+def decode_jpeg_gray(data: bytes):
+    """Baseline JPEG bytes -> (H, W) float32 gray with equal-weight
+    (R+G+B)/3, or None (progressive/CMYK/12-bit or no lib — callers
+    fall back to PIL)."""
+    lib = _load()
+    if lib is None or len(data) < 4:
+        return None
+    w = ctypes.c_int32()
+    h = ctypes.c_int32()
+    if lib.hesaff_jpeg_dims(data, len(data), ctypes.byref(w),
+                            ctypes.byref(h)) != 0:
+        return None
+    npix = int(w.value) * int(h.value)
+    if npix <= 0 or npix > (1 << 27):
+        return None
+    out = np.empty(npix, np.float32)
+    rc = lib.hesaff_decode_jpeg_gray(
+        data, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), npix,
+        ctypes.byref(w), ctypes.byref(h),
+    )
+    if rc != 0:
+        return None
+    return out.reshape(h.value, w.value)
 
 
 def decode_pnm_gray(data: bytes):

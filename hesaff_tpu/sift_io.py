@@ -125,6 +125,15 @@ def load_image_gray(path: str) -> np.ndarray:
         if out is not None:
             return out
         # unsupported PNG variant (16-bit / interlaced) -> PIL below
+    if magic == b"\xff\xd8":
+        from hesaff_tpu import native
+
+        with open(path, "rb") as f:
+            data = f.read()
+        out = native.decode_jpeg_gray(data)
+        if out is not None:
+            return out
+        # progressive / CMYK / 12-bit JPEG -> PIL below
     try:
         from PIL import Image  # optional: exotic formats (JPEG, TIFF...)
     except ImportError as e:  # pragma: no cover

@@ -38,6 +38,11 @@ int hesaff_decode_pnm_gray(const uint8_t *data, int64_t size, float *out,
 int hesaff_decode_png_gray(const uint8_t *data, int64_t size, float *out,
                            int64_t max_pixels, int32_t *width,
                            int32_t *height);
+int hesaff_decode_jpeg_gray(const uint8_t *data, int64_t size, float *out,
+                            int64_t max_pixels, int32_t *width,
+                            int32_t *height);
+int hesaff_jpeg_dims(const uint8_t *data, int64_t size, int32_t *width,
+                     int32_t *height);
 }
 
 namespace {
@@ -96,6 +101,14 @@ int decode_file(const std::string &path, std::vector<float> &pix,
     pix.resize((size_t)(wd * ht));
     return hesaff_decode_png_gray(data.data(), size, pix.data(),
                                   (int64_t)(wd * ht), w, h) == 0 ? 0 : 1;
+  }
+  if (data[0] == 0xFF && data[1] == 0xD8) {
+    int32_t wd = 0, ht = 0;
+    if (hesaff_jpeg_dims(data.data(), size, &wd, &ht) != 0) return 1;
+    if ((int64_t)wd * ht > (1ll << 27)) return 1;
+    pix.resize((size_t)wd * ht);
+    return hesaff_decode_jpeg_gray(data.data(), size, pix.data(),
+                                   (int64_t)wd * ht, w, h) == 0 ? 0 : 1;
   }
   return 1;  // unknown container: consumer falls back (PIL path)
 }

@@ -40,6 +40,77 @@ def test_native_png_rejects_16bit(tmp_path):
     assert out.shape == (8, 8)
 
 
+@pytest.mark.parametrize("mode,sub,q", [
+    ("RGB", 0, 95),    # 4:4:4
+    ("RGB", 1, 75),    # 4:2:2
+    ("RGB", 2, 85),    # 4:2:0
+    ("L", 0, 90),      # grayscale
+])
+def test_native_jpeg_matches_pil(tmp_path, mode, sub, q):
+    """Native baseline JPEG decoder vs PIL/libjpeg: equal-weight gray
+    within ~2 LSB (float IDCT + triangular chroma upsampling vs
+    libjpeg's fixed-point pipeline; JPEG does not specify a bit-exact
+    decoder).  Reference context: cv::imread at hesaff.cpp:137."""
+    rng = np.random.RandomState(11)
+    a = rng.normal(128, 50, (61, 97, 3)).astype(np.float32)
+    for _ in range(6):
+        for ax in (0, 1):
+            a = (a + np.roll(a, 1, ax)) * 0.5
+    a = np.clip(a, 0, 255).astype(np.uint8)
+    im = PIL.fromarray(a if mode == "RGB" else a[..., 0], mode)
+    path = str(tmp_path / f"img_{mode}_{sub}.jpg")
+    kw = {"quality": q}
+    if mode == "RGB":
+        kw["subsampling"] = sub
+    im.save(path, "JPEG", **kw)
+    with open(path, "rb") as f:
+        nat = native.decode_jpeg_gray(f.read())
+    assert nat is not None, "native JPEG decoder did not engage"
+    ref = np.asarray(PIL.open(path).convert("RGB"), np.float32).mean(-1)
+    assert nat.shape == ref.shape
+    d = np.abs(nat - ref)
+    assert d.max() <= 2.5 and d.mean() < 0.5, (d.max(), d.mean())
+    np.testing.assert_array_equal(load_image_gray(path), nat)
+
+
+def test_native_jpeg_restart_and_progressive(tmp_path):
+    """Restart markers decode; progressive falls back to PIL (None)."""
+    rng = np.random.RandomState(12)
+    a = np.clip(rng.normal(128, 40, (64, 80, 3)), 0, 255).astype(np.uint8)
+    im = PIL.fromarray(a)
+    p1 = str(tmp_path / "rst.jpg")
+    im.save(p1, "JPEG", quality=80, restart_marker_blocks=2)
+    with open(p1, "rb") as f:
+        nat = native.decode_jpeg_gray(f.read())
+    assert nat is not None
+    ref = np.asarray(PIL.open(p1).convert("RGB"), np.float32).mean(-1)
+    assert np.abs(nat - ref).mean() < 0.5
+    p2 = str(tmp_path / "prog.jpg")
+    im.save(p2, "JPEG", quality=80, progressive=True)
+    with open(p2, "rb") as f:
+        assert native.decode_jpeg_gray(f.read()) is None
+    out = load_image_gray(p2)      # PIL fallback still decodes
+    assert out.shape == (64, 80)
+
+
+def test_prefetch_loader_decodes_jpeg(tmp_path):
+    """The native prefetch loader decodes JPEG in its worker threads."""
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    from hesaff_tpu.utils.fleet import pad_to_bucket
+
+    rng = np.random.RandomState(13)
+    a = np.clip(rng.normal(128, 40, (70, 90, 3)), 0, 255).astype(np.uint8)
+    p = str(tmp_path / "im.jpg")
+    PIL.fromarray(a).save(p, "JPEG", quality=90)
+    with native.PrefetchLoader([p], threads=1) as loader:
+        out = list(loader)
+    assert len(out) == 1 and out[0][1] is not None
+    ref, ref_hw = pad_to_bucket(load_image_gray(p))
+    assert out[0][2] == ref_hw
+    assert np.array_equal(out[0][1], ref)
+
+
 def test_native_pnm_roundtrip(tmp_path):
     rng = np.random.RandomState(4)
     rgb = rng.randint(0, 256, (21, 31, 3), np.uint8)
