@@ -103,15 +103,28 @@ def test_two_process_multihost(tmp_path):
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         + os.pathsep + env.get("PYTHONPATH", ""))
     env.pop("XLA_FLAGS", None)   # workers set their own device count
-    procs = [
-        subprocess.Popen(
-            [_sys.executable, script, str(i), "2", str(port),
-             str(tmp_path)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-            text=True)
-        for i in range(2)
-    ]
-    outs = [p.communicate(timeout=600) for p in procs]
+
+    def run_workers(port_):
+        procs = [
+            subprocess.Popen(
+                [_sys.executable, script, str(i), "2", str(port_),
+                 str(tmp_path)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True)
+            for i in range(2)
+        ]
+        return procs, [p.communicate(timeout=600) for p in procs]
+
+    procs, outs = run_workers(port)
+    if any(p.returncode != 0 for p in procs):
+        # the coordination service's ~10 s heartbeat is load-sensitive:
+        # a concurrent compile job starving both workers kills the run
+        # spuriously (observed under a parallel TPU bench).  One retry
+        # on a fresh port separates that from a real collectives bug.
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        procs, outs = run_workers(port)
     for i, p in enumerate(procs):
         assert p.returncode == 0, (
             f"process {i} failed:\n{outs[i][0]}\n{outs[i][1]}")
