@@ -109,18 +109,29 @@ def _group_kb(bucket: int, narrow: bool = False) -> int:
     """Keypoints per grid step, bounded by the 16 MB scoped VMEM
     (window scratch KB*WY*WX*4 dominates; measured: bucket 193 at KB=4
     allocates 16.16 MB).  Narrow-geometry windows are ~2.5x smaller,
-    affording ~2x the block."""
+    affording ~2x the block.
+
+    HESAFF_PATCH_KB overrides the small-bucket (<=128) block size for
+    on-chip sweeps — fewer grid steps amortize per-step fixed costs
+    (DMA waits, scalar-core band setup); patches_pallas halves an
+    override that would blow the scoped-VMEM budget."""
     if narrow:
         if bucket <= 128:
-            return 16
-        if bucket <= 160:
-            return 8
-        return 4 if bucket <= 512 else 2
-    if bucket <= 128:
-        return 8
-    if bucket <= 160:
+            kb = 16
+        elif bucket <= 160:
+            kb = 8
+        else:
+            return 4 if bucket <= 512 else 2
+    elif bucket <= 128:
+        kb = 8
+    elif bucket <= 160:
         return 4
-    return 2 if bucket <= 512 else 1
+    else:
+        return 2 if bucket <= 512 else 1
+    env = os.environ.get("HESAFF_PATCH_KB", "")
+    if env:
+        kb = max(1, int(env))
+    return kb
 
 
 def _narrow_band(bucket: int, LY: int) -> int:
@@ -433,16 +444,17 @@ def patches_pallas(images: jnp.ndarray, bucket: int, act, img_idx, rb, cb,
     if Hp != H or Wp != W:
         images = jnp.pad(images, ((0, 0), (0, Hp - H), (0, Wp - W)))
 
-    def scratch_for(pipe: bool):
+    def scratch_for(pipe: bool, kb: int = None):
+        kb = KB if kb is None else kb
         return [
-            pltpu.VMEM(((2, KB, WY, WX) if pipe else (KB, WY, WX)),
+            pltpu.VMEM(((2, kb, WY, WX) if pipe else (kb, WY, WX)),
                        jnp.float32),                          # win
-            pltpu.VMEM((KB, _round_up(bucket, _ROWS), bucket),
+            pltpu.VMEM((kb, _round_up(bucket, _ROWS), bucket),
                        jnp.float32),                          # wsbuf
-            pltpu.VMEM((KB, WY, bucket), jnp.float32),        # ysbuf
-            pltpu.VMEM((KB, 1, bucket), jnp.float32),         # vxbuf
-            pltpu.VMEM((KB, 1, bucket), jnp.float32),         # rowacc
-            pltpu.VMEM((KB, 1, bucket), jnp.float32),         # badacc
+            pltpu.VMEM((kb, WY, bucket), jnp.float32),        # ysbuf
+            pltpu.VMEM((kb, 1, bucket), jnp.float32),         # vxbuf
+            pltpu.VMEM((kb, 1, bucket), jnp.float32),         # rowacc
+            pltpu.VMEM((kb, 1, bucket), jnp.float32),         # badacc
             pltpu.VMEM((bucket + KMAX - 1, bucket), jnp.float32),  # padv
             pltpu.VMEM((bucket, bucket), jnp.float32),        # blurv
             pltpu.VMEM((bucket, bucket + KMAX - 1), jnp.float32),  # padh
@@ -456,6 +468,12 @@ def patches_pallas(images: jnp.ndarray, bucket: int, act, img_idx, rb, cb,
                 n *= d
             total += 4 * n
         return total
+
+    # an env-raised block (power of two) halves back down until the
+    # un-piped scratch fits; K stays a multiple (callers pad to the
+    # same _group_kb, and halving preserves divisibility)
+    while KB > 1 and vmem_bytes(scratch_for(False)) > 14_500_000:
+        KB //= 2
 
     # double-buffered window prefetch only where the doubled scratch
     # still fits the 16 MB scoped-VMEM budget (derived from the actual
