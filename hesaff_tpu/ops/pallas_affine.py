@@ -52,6 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from hesaff_tpu.ops.pallas_util import dma_plumbing as _dma_plumbing
+from hesaff_tpu.ops.pallas_util import dot_onehot_bf16x2
 from hesaff_tpu.ops.pallas_util import round_up as _round_up
 
 from hesaff_tpu.config import HesaffConfig
@@ -77,7 +78,9 @@ _LOCKSTEP = os.environ.get("HESAFF_AFFINE_LOCKSTEP", "0") == "1"
 # windows (scalars via a +1-shifted BlockSpec view of src/rb/cb/act)
 # while computing the current block, hiding window-DMA latency behind
 # the iteration loop.  Scratch doubles: (2, KB, WINY, WINX).
-_DMA_PIPE = os.environ.get("HESAFF_AFFINE_DMA_PIPE", "0") == "1"
+# Default ON: the round-3 on-chip A/B measured +11% end-to-end
+# (47.4k -> 52.7k desc/s with both DMA pipes).
+_DMA_PIPE = os.environ.get("HESAFF_AFFINE_DMA_PIPE", "1") == "1"
 
 # PROFILING ONLY (breaks output parity): "prologue" truncates the
 # per-keypoint kernel after DMA + roll + bf16 split, attributing the
@@ -249,9 +252,11 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int,
 
                     t = d(eh, wh) + d(eh, wl) + d(el, wh)
                     val = jnp.sum(t * Ex, axis=1, keepdims=True)  # (N, 1)
-                    img = jnp.dot(aj_ref[:], val * bi_ref[:],
-                                  preferred_element_type=jnp.float32,
-                                  precision=jax.lax.Precision.HIGHEST)
+                    # aj is 0/1: the (361,1)->(19,19) fold needs only a
+                    # 2-pass RHS-split matmul (each output has exactly
+                    # one nonzero term; ~2^-16 rel, same class as the
+                    # bf16x3 sampling) -- half HIGHEST's MXU passes
+                    img = dot_onehot_bf16x2(aj_ref[:], val * bi_ref[:])
 
                     # out-of-window observability (sample inside image
                     # but outside the SEMANTIC window — matches the XLA
@@ -465,9 +470,7 @@ def _make_kernel_lockstep(WIN: int, H: int, W: int, cfg: HesaffConfig,
 
                 t = d(eh, whb[kb]) + d(eh, wlb[kb]) + d(el, whb[kb])
                 val = jnp.sum(t * Ex, axis=1, keepdims=True)
-                img = jnp.dot(aj_ref[:], val * bi_ref[:],
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
+                img = dot_onehot_bf16x2(aj_ref[:], val * bi_ref[:])
                 ow = ((y0f - r0o[kb] < 0) | (y0f - r0o[kb] > WIN - 2)
                       | (x0f - c0o[kb] < 0) | (x0f - c0o[kb] > WIN - 2))
                 ow_l.append(jnp.any((validf > 0) & ow, axis=0,

@@ -44,8 +44,9 @@ _HI = jax.lax.Precision.HIGHEST
 # cross-grid-step DMA double buffering (see pallas_util.dma_plumbing):
 # prefetch the next block's windows while this block computes.  Window
 # scratch doubles, so it engages only where the doubled footprint fits
-# the scoped-VMEM budget (see patches_pallas).
-_DMA_PIPE = os.environ.get("HESAFF_PATCH_DMA_PIPE", "0") == "1"
+# the scoped-VMEM budget (see patches_pallas).  Default ON: round-3
+# on-chip A/B measured +11% end-to-end with both DMA pipes.
+_DMA_PIPE = os.environ.get("HESAFF_PATCH_DMA_PIPE", "1") == "1"
 
 # PROFILING ONLY (breaks output parity): truncate the kernel after the
 # x-pass ("xonly") or skip the per-keypoint blur ("noblur") so on-chip

@@ -36,6 +36,26 @@ def dot_bf16x3(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return d(ah, bh) + d(ah, bl) + d(al, bh)
 
 
+def dot_onehot_bf16x2(oh: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """oh @ v where oh is EXACTLY 0/1 (one-hot/permutation-like).
+
+    0/1 entries are exact in bf16, so only v needs the hi+lo split:
+    two bf16 MXU passes reproduce the f32 product to ~2^-16 relative
+    (each partial product oh*vh / oh*vl is exact; only the final f32
+    accumulation rounds) — vs six passes for Mosaic's HIGHEST.
+    """
+    ohb = oh.astype(jnp.bfloat16)
+    vh = v.astype(jnp.bfloat16)
+    vl = (v - vh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(p, q):
+        return jax.lax.dot_general(
+            p, q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    return d(ohb, vh) + d(ohb, vl)
+
+
 def dma_plumbing(stack_ref, wnd, sems, WINY, WINX, pipe: bool, KB: int,
                   next_scalars=None):
     """(start_all_current, start_all_next, wait_cur, window_of) for the
