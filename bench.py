@@ -1,9 +1,13 @@
 """Benchmark: batched Hessian-Affine + SIFT extraction throughput.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the reference C++ binary measured in this container on
-800x640 synthetic imagery — ~3.9k descriptors/s single CPU thread
-(BASELINE.md).  vs_baseline = descriptors/s / 3900.
+Baseline: the reference C++ binary measured in this container on the
+IDENTICAL bench imagery (gen_images.synth_image 800x640, seeds 0-15,
+fed as 8-bit PNGs): 27,835 descriptors in a best-of-3 sweep of 5.014 s
+self-reported detect time = 5,551 desc/s single CPU thread
+(BASELINE.md bench-imagery pin, 2026-08-20).  Detect-time-only is the
+most-generous-to-reference scope and matches this bench's
+device-resident compute-only scope.  vs_baseline = desc/s / 5551.4.
 """
 
 import argparse
@@ -14,7 +18,7 @@ import time
 
 import numpy as np
 
-BASELINE_DESC_PER_S = 3900.0
+BASELINE_DESC_PER_S = 5551.4
 
 
 def _stage_breakdown(images, cfg, groups, iters=3):

@@ -203,13 +203,6 @@ def _describe_stage(patches, cfg: HesaffConfig):
 # bucket size (measured on v5e); larger groups fall back to XLA
 _PALLAS_GROUP_MAX = 384
 
-# split each Pallas patch group into narrow/wide warp-extent classes
-# (env-gated until validated on-chip)
-import os as _os
-
-_PATCH_CLASSES = _os.environ.get("HESAFF_PATCH_CLASSES", "0") == "1"
-
-
 def default_group_spec(height: int, width: int,
                        cfg: HesaffConfig = DEFAULT_CONFIG,
                        per_image_cap: int = 512,
@@ -286,19 +279,12 @@ def _compact_and_gather(flat, m, bcap: int, ncap: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "bsize", "bcap", "prev",
-                                    "ncap", "mixed", "gclass", "interpret"))
+                                    "ncap", "mixed", "interpret"))
 def _group_select_stage(images, flat, cfg: HesaffConfig, bsize: int,
                         bcap: int, prev: int, ncap: int, mixed: bool,
-                        gclass: str = "all", interpret: bool = False):
-    """One group's selection + fused Pallas patch kernel (small jit).
-
-    gclass splits the group by warp extent: "narrow" takes the
-    near-isotropic majority through the small-window kernel geometry
-    (~2.5x less DMA + x-pass work), "wide" the anisotropy tail through
-    the worst-case geometry, "all" disables the split.
-    """
-    from hesaff_tpu.ops.pallas_patches import (extent_fits_narrow,
-                                               extract_group_pallas)
+                        interpret: bool = False):
+    """One group's selection + fused Pallas patch kernel (small jit)."""
+    from hesaff_tpu.ops.pallas_patches import extract_group_pallas
 
     ok = flat["ok"]
     mr_scale = jnp.ceil(flat["s"] * cfg.mr_size)
@@ -307,17 +293,11 @@ def _group_select_stage(images, flat, cfg: HesaffConfig, bsize: int,
     if mixed:
         its_all = (ws - 2).astype(jnp.float32) / cfg.patch_size
         m = m & ~(its_all <= cfg.oversample_cutoff)
-    if gclass != "all":
-        H_, W_ = images.shape[-2], images.shape[-1]
-        fits = extent_fits_narrow(
-            ws, flat["a11"], flat["a21"], flat["a22"], bsize,
-            H_, W_, cfg.patch_size, cfg.patch_smooth_factor)
-        m = m & (fits if gclass == "narrow" else ~fits)
     gi, a, valid, over = _compact_and_gather(flat, m, bcap, ncap)
     pk, pok = extract_group_pallas(
         images, bsize, gi, a["x"], a["y"], a["s"],
         a["a11"], a["a21"], a["a22"], cfg, active=valid,
-        narrow=(gclass == "narrow"), interpret=interpret,
+        interpret=interpret,
     )
     return pk, pok, gi, a, valid, over
 
@@ -464,27 +444,6 @@ def extraction_step_grouped(images, cfg: HesaffConfig,
     Ho, Wo = images.shape[-2], images.shape[-1]
     for bsize, bcap in groups:
         if bsize <= _PALLAS_GROUP_MAX:
-            if _PATCH_CLASSES:
-                # extent-split: near-isotropic majority through the
-                # narrow-window kernel, anisotropy tail through the
-                # worst-case geometry
-                pk, pok, gi, a, valid, over = _group_select_stage(
-                    images, flat, cfg, bsize, bcap, prev, ncap, mixed,
-                    gclass="narrow", interpret=interpret)
-                pieces.append((pk, pok, gi, a, valid))
-                overflow = overflow + over
-                # anisotropy tail is typically <10% of a group, but an
-                # anisotropy-heavy scene can push past that — size at
-                # bcap/4 (padding chunks are skipped at runtime, so the
-                # slack is cheap); overflow stays counted, never silent
-                wcap = max(64, ((bcap // 4 + 31) // 32) * 32)
-                pk, pok, gi, a, valid, over = _group_select_stage(
-                    images, flat, cfg, bsize, wcap, prev, ncap, mixed,
-                    gclass="wide", interpret=interpret)
-                pieces.append((pk, pok, gi, a, valid))
-                overflow = overflow + over
-                prev = bsize
-                continue
             # fused Pallas patch kernel (window resident in VMEM)
             pk, pok, gi, a, valid, over = _group_select_stage(
                 images, flat, cfg, bsize, bcap, prev, ncap, mixed,

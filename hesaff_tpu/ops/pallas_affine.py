@@ -8,9 +8,15 @@ whole <=16-iteration loop in-kernel: HBM traffic drops to one window
 read per keypoint, and the loop exits early once the keypoint
 converges or diverges.
 
-Semantics mirror affine_shape._adapt_one exactly (same one-hot
-bilinear weights, same SMM/invSqrt/eigen decision chain against
-/root/reference/affine.cpp:35-100); math runs in full f32.
+Semantics mirror affine_shape._adapt_one (same one-hot bilinear
+weights, same SMM/invSqrt/eigen decision chain against
+/root/reference/affine.cpp:35-100).  Sampling runs as bf16x3 matmuls
+(~2^-22 rel of f32) and the (361,1)->(19,19) fold as a bf16x2
+RHS-split (~2^-16 rel; each output has exactly one nonzero term), so
+SMM inputs carry ~1e-6 relative error vs the XLA path — keypoints
+sitting exactly on a convergence/anisotropy threshold can in principle
+flip ok/iters between the two paths (none do on the checked-in test
+seeds, which assert exact agreement).
 
 Layout trick: sampled values come out of the MXU as a (361, 1) column;
 the gradient/SMM stage wants (19, 19).  The fold is itself a pair of
@@ -59,20 +65,19 @@ from hesaff_tpu.config import HesaffConfig
 from hesaff_tpu.ops.linalg import eigenvalues_2x2, inv_sqrt_2x2
 
 # keypoints per grid step (window scratch = KB * WINY * WINX * 4 bytes;
-# env-tunable for on-chip sweeps — larger blocks widen the lockstep
-# body's ILP at the cost of VMEM and straggler padding)
+# env-tunable for on-chip sweeps)
 _KB = int(os.environ.get("HESAFF_AFFINE_KB", "8"))
 
 # narrow the window with a dynamic lane roll (cheap) vs an exact 0/1
 # select matmul (fallback if tpu.DynamicRotate fails to lower)
 _USE_ROLL = os.environ.get("HESAFF_AFFINE_NO_ROLL", "0") != "1"
 
-# run the KB keypoints of a grid step in LOCKSTEP (one while_loop whose
-# body holds KB independent sampling chains the scheduler can overlap)
-# instead of KB sequential per-keypoint loops with early exit.  Trades
-# extra masked iterations (the block runs to its max) for latency
-# hiding of each chain's sample->SMM->update dependency.
-_LOCKSTEP = os.environ.get("HESAFF_AFFINE_LOCKSTEP", "0") == "1"
+# (A lockstep variant — one while_loop advancing KB keypoints with
+# masked updates, plus an N-phase compacting driver — lived here
+# through round 3.  The on-chip A/B measured 49.2k vs 52.7k desc/s for
+# the per-keypoint early-exit loops below: lockstep's extra masked
+# iterations and the phase recompaction cost more than the straggler
+# idling they saved.  Deleted per the sweep record in PERF.md.)
 
 # cross-grid-step DMA double buffering: prefetch the NEXT block's
 # windows (scalars via a +1-shifted BlockSpec view of src/rb/cb/act)
@@ -339,234 +344,11 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int,
     return kernel
 
 
-def _make_kernel_lockstep(WIN: int, H: int, W: int, cfg: HesaffConfig,
-                          KB: int, it0: int, it_end: int,
-                          pipe: bool = False):
-    """Lockstep variant: one while_loop over iterations, all KB
-    keypoints advancing together with masked updates.  Same per-
-    keypoint arithmetic as _make_kernel (bit-identical trajectories;
-    no early exit, so a block runs to its slowest member).
-
-    State-carrying: the iteration loop runs [it0, it_end) resuming from
-    per-keypoint inputs (U, ratio_bef, violated) and emits the full
-    state, so a two-phase driver can stop at a split point, COMPACT the
-    still-alive keypoints into dense blocks, and resume — blocks no
-    longer pay for their slowest member over the whole 16 iterations
-    (HESAFF_AFFINE_PHASES)."""
-    G = cfg.smm_window_size
-    N = G * G
-    half = G >> 1
-    mask_pixels = float(N)
-    WINY, WINX = aligned_window(WIN)
-    XL = _round_up(WIN, 128)
-
-    def kernel(*refs):
-        (src_ref, rb_ref, cb_ref, act_ref, lx_ref, ly_ref, ratio_ref,
-         u11i_ref, u12i_ref, u21i_ref, u22i_ref, rbefi_ref, violi_ref,
-         *rest) = refs
-        next_scalars = None
-        if pipe:
-            next_scalars, rest = tuple(rest[:4]), rest[4:]
-        (stack_ref, mask_ref, aj_ref, bi_ref,
-         ok_ref, u11_ref, u12_ref, u21_ref, u22_ref, iters_ref,
-         rbef_ref, viol_ref, alive_ref,
-         wnd, whb, wlb, sems) = rest
-        start_cur, start_nxt, wait_cur, window_of = _dma_plumbing(
-            stack_ref, wnd, sems, WINY, WINX, pipe, KB, next_scalars)
-
-        start_cur(src_ref, rb_ref, cb_ref, act_ref)
-        start_nxt()
-
-        p_col = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
-        jj = p_col // G
-        j_col = (jj - half).astype(jnp.float32)
-        i_col = (p_col - jj * G - half).astype(jnp.float32)
-        iota_y = jax.lax.broadcasted_iota(
-            jnp.int32, (N, WINY), 1).astype(jnp.float32)
-        iota_x = jax.lax.broadcasted_iota(
-            jnp.int32, (N, XL), 1).astype(jnp.float32)
-
-        # prologue: per-keypoint rolled window bf16 split into scratch,
-        # per-keypoint loop-invariant scalars
-        r8f = []
-        r0o = []
-        c0o = []
-        corig = []
-        lxs = []
-        lys = []
-        ratio_v = []
-        for kb in range(KB):
-            lx = lx_ref[0, 0, kb]
-            ly = ly_ref[0, 0, kb]
-            lxs.append(lx)
-            lys.append(ly)
-            ratio_v.append(jnp.full((1, 1), ratio_ref[0, 0, kb]))
-            r8f.append(jnp.float32(rb_ref[0, 0, kb] * 8))
-            r0o.append(jnp.float32(jnp.clip(
-                ly.astype(jnp.int32) - WIN // 2, 0, H - WIN)))
-            c0i = jnp.clip(lx.astype(jnp.int32) - WIN // 2, 0, W - WIN)
-            c0o.append(jnp.float32(c0i))
-            shift = jnp.minimum(c0i - cb_ref[0, 0, kb] * 128, WINX - XL)
-            corig.append(jnp.float32(cb_ref[0, 0, kb] * 128 + shift))
-
-            @pl.when(act_ref[0, 0, kb] != 0)
-            def _(kb=kb, shift=shift):
-                wait_cur(kb, src_ref, rb_ref, cb_ref)
-                wr = pltpu.roll(window_of(kb), -shift, axis=1)[:, :XL]
-                wh = wr.astype(jnp.bfloat16)
-                whb[kb] = wh
-                wlb[kb] = (wr - wh.astype(jnp.float32)
-                           ).astype(jnp.bfloat16)
-
-            @pl.when(act_ref[0, 0, kb] == 0)
-            def _(kb=kb):
-                whb[kb] = jnp.zeros((WINY, XL), jnp.bfloat16)
-                wlb[kb] = jnp.zeros((WINY, XL), jnp.bfloat16)
-
-        # (KB, 1, 1) SMEM-scalar stack (a bare scalar stack + reshape
-        # is an unsupported Mosaic shape cast)
-        stk = lambda ref, dt: jnp.stack([
-            jnp.full((1, 1), ref[0, 0, kb]).astype(dt) for kb in range(KB)
-        ])
-        act0_i = stk(act_ref, jnp.int32)
-        act0 = act0_i != 0
-
-        # mask carries as i32 0/1 (Mosaic cannot legalize vector<i1>
-        # scf.yield operands — see _make_kernel)
-        def cond(state):
-            return jnp.any(state[5] != 0) & (state[9] < it_end)
-
-        def body(state):
-            (u11, u12, u21, u22, ratio_bef, alive_i, converged_i,
-             conv_iter, violated_i, it) = state
-            alive = alive_i != 0
-            converged = converged_i != 0
-            violated = violated_i != 0
-            a_l, b_l, c_l, ow_l = [], [], [], []
-            for kb in range(KB):
-                a11r = u11[kb] * ratio_v[kb]
-                a12r = u12[kb] * ratio_v[kb]
-                a21r = u21[kb] * ratio_v[kb]
-                a22r = u22[kb] * ratio_v[kb]
-                wy = lys[kb] + i_col * a21r + j_col * a22r
-                wx = lxs[kb] + i_col * a11r + j_col * a12r
-                y0f = jnp.floor(wy)
-                x0f = jnp.floor(wx)
-                validf = ((x0f >= 0) & (x0f < W - 1)
-                          & (y0f >= 0)
-                          & (y0f < H - 1)).astype(jnp.float32)
-                Ey = jnp.maximum(
-                    0.0, 1.0 - jnp.abs(iota_y - (wy - r8f[kb])))
-                Ex = jnp.maximum(
-                    0.0, 1.0 - jnp.abs(iota_x - (wx - corig[kb]))
-                ) * validf
-                eh = Ey.astype(jnp.bfloat16)
-                el = (Ey - eh.astype(jnp.float32)).astype(jnp.bfloat16)
-
-                def d(p, q):
-                    return jax.lax.dot_general(
-                        p, q, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-
-                t = d(eh, whb[kb]) + d(eh, wlb[kb]) + d(el, whb[kb])
-                val = jnp.sum(t * Ex, axis=1, keepdims=True)
-                img = dot_onehot_bf16x2(aj_ref[:], val * bi_ref[:])
-                ow = ((y0f - r0o[kb] < 0) | (y0f - r0o[kb] > WIN - 2)
-                      | (x0f - c0o[kb] < 0) | (x0f - c0o[kb] > WIN - 2))
-                ow_l.append(jnp.any((validf > 0) & ow, axis=0,
-                                    keepdims=True))
-                gx = jnp.concatenate(
-                    [img[:, 1:2] - img[:, 0:1],
-                     img[:, 2:] - img[:, :-2],
-                     img[:, -1:] - img[:, -2:-1]], axis=1)
-                gy = jnp.concatenate(
-                    [img[1:2, :] - img[0:1, :],
-                     img[2:, :] - img[:-2, :],
-                     img[-1:, :] - img[-2:-1, :]], axis=0)
-                msk = mask_ref[:]
-                s11 = lambda z: jnp.sum(z, axis=(0, 1), keepdims=True)
-                a_l.append(s11(gx * gx * msk) / mask_pixels)
-                b_l.append(s11(gx * gy * msk) / mask_pixels)
-                c_l.append(s11(gy * gy * msk) / mask_pixels)
-
-            a = jnp.stack(a_l)                           # (KB, 1, 1)
-            b = jnp.stack(b_l)
-            c = jnp.stack(c_l)
-            oww = jnp.stack(ow_l)
-            violated = violated | (alive & oww)
-
-            ia, ib, ic, il1, il2 = inv_sqrt_2x2(a, b, c)
-            ratio_act = 1.0 - il2 / il1
-            n11 = ia * u11 + ib * u21
-            n12 = ia * u12 + ib * u22
-            n21 = ib * u11 + ic * u21
-            n22 = ib * u12 + ic * u22
-            l1, l2, is_real = eigenvalues_2x2(n11, n12, n21, n22)
-            aniso_bad = ((~is_real)
-                         | (l1 / l2 > cfg.anisotropy_max)
-                         | (l2 / l1 > cfg.anisotropy_max))
-            just_conv = ((ratio_act < cfg.convergence_threshold)
-                         & (ratio_bef < cfg.convergence_threshold)
-                         & ~aniso_bad & alive)
-            # masked updates: frozen (converged/dead) keypoints keep
-            # their state — matches the per-keypoint early exit
-            upd = lambda n, u: jnp.where(alive, n, u)
-            conv_iter = jnp.where(just_conv, it, conv_iter)
-            converged = converged | just_conv
-            ratio_bef = jnp.where(alive, ratio_act, ratio_bef)
-            state = (upd(n11, u11), upd(n12, u12), upd(n21, u21),
-                     upd(n22, u22), ratio_bef,
-                     (alive & ~aniso_bad & ~just_conv).astype(jnp.int32),
-                     converged.astype(jnp.int32), conv_iter,
-                     violated.astype(jnp.int32), it + 1)
-            return state
-
-        init = (stk(u11i_ref, jnp.float32), stk(u12i_ref, jnp.float32),
-                stk(u21i_ref, jnp.float32), stk(u22i_ref, jnp.float32),
-                stk(rbefi_ref, jnp.float32),
-                act0_i,               # selected keypoints are alive by
-                                      # contract (compaction drops the
-                                      # converged/dead before resume)
-                jnp.zeros((KB, 1, 1), jnp.int32),
-                jnp.zeros((KB, 1, 1), jnp.int32),
-                stk(violi_ref, jnp.int32), jnp.int32(it0))
-        (u11, u12, u21, u22, rbef, alive_i, converged_i, conv_iter,
-         violated_i, _) = jax.lax.while_loop(cond, body, init)
-        alive = alive_i != 0
-        converged = converged_i != 0
-        violated = violated_i != 0
-        okv = converged & ~violated & (act0)
-        for kb in range(KB):
-            ok_ref[0, 0, kb] = jnp.any(okv[kb]).astype(jnp.int32)
-            u11_ref[0, 0, kb] = jnp.sum(
-                jnp.where(act0[kb], u11[kb], 0.0))
-            u12_ref[0, 0, kb] = jnp.sum(
-                jnp.where(act0[kb], u12[kb], 0.0))
-            u21_ref[0, 0, kb] = jnp.sum(
-                jnp.where(act0[kb], u21[kb], 0.0))
-            u22_ref[0, 0, kb] = jnp.sum(
-                jnp.where(act0[kb], u22[kb], 0.0))
-            iters_ref[0, 0, kb] = jnp.sum(conv_iter[kb])
-            rbef_ref[0, 0, kb] = jnp.sum(
-                jnp.where(act0[kb], rbef[kb], 0.0))
-            viol_ref[0, 0, kb] = jnp.any(
-                violated[kb] & act0[kb]).astype(jnp.int32)
-            alive_ref[0, 0, kb] = jnp.any(
-                alive[kb]).astype(jnp.int32)
-
-    return kernel
-
-
 def _call_kernel(stack, src, rb, cb, act, lx, ly, ratio, win, H, W,
-                 cfg: HesaffConfig, interpret: bool,
-                 state=None, it0: int = 0, it_end: int | None = None):
+                 cfg: HesaffConfig, interpret: bool):
     """Invoke the fused kernel over K keypoints (K % _KB == 0).
 
-    Per-keypoint path: returns (ok, u11, u12, u21, u22, iters).
-    Lockstep path: additionally returns (ratio_bef, violated, alive) so
-    a phase driver can resume; `state` is an optional 6-tuple
-    (u11, u12, u21, u22, ratio_bef, violated) of (K,) arrays and
-    [it0, it_end) bounds the iteration loop.
+    Returns (ok, u11, u12, u21, u22, iters).
     """
     S, Hp, Wp = stack.shape
     K = src.shape[0]
@@ -576,31 +358,12 @@ def _call_kernel(stack, src, rb, cb, act, lx, ly, ratio, win, H, W,
     from hesaff_tpu.ops import masks
     msk = jnp.asarray(masks.smm_gauss_mask(G))
     WINY, WINX = aligned_window(win)
-    if it_end is None:
-        it_end = cfg.max_iterations
-
-    XL = _round_up(win, 128)
-    pipe = _DMA_PIPE
-    if _LOCKSTEP:
-        kernel = _make_kernel_lockstep(win, H, W, cfg, _KB, it0, it_end,
-                                       pipe=pipe)
-        extra_scratch = [
-            pltpu.VMEM((_KB, WINY, XL), jnp.bfloat16),   # whb
-            pltpu.VMEM((_KB, WINY, XL), jnp.bfloat16),   # wlb
-        ]
-        if state is None:
-            ones = jnp.ones((K,), jnp.float32)
-            zeros = jnp.zeros((K,), jnp.float32)
-            state = (ones, zeros, zeros, ones, zeros,
-                     jnp.zeros((K,), jnp.int32))
-        state_in = tuple(state[:5]) + (state[5].astype(jnp.int32),)
-        n_state_in, n_out = 6, 9
-    else:
-        assert state is None and it0 == 0 and it_end == cfg.max_iterations
-        kernel = _make_kernel(win, H, W, cfg, _KB, pipe=pipe)
-        extra_scratch = []
-        state_in = ()
-        n_state_in, n_out = 0, 6
+    # double-buffered prefetch only where the doubled window scratch
+    # fits the measured scoped-VMEM budget (an HESAFF_AFFINE_KB raise
+    # must degrade to single-buffering, not fail to compile)
+    pipe = _DMA_PIPE and 2 * _KB * WINY * WINX * 4 <= 14_500_000
+    kernel = _make_kernel(win, H, W, cfg, _KB, pipe=pipe)
+    n_out = 6
     nsteps = K // _KB
     grid = (nsteps,)
     # scalars ride as (G, 1, KB) blocks — trailing block dims equal the
@@ -616,16 +379,16 @@ def _call_kernel(stack, src, rb, cb, act, lx, ly, ratio, win, H, W,
                            memory_space=pltpu.SMEM)
     f32 = jnp.float32
     i32 = jnp.int32
-    out_dtypes = [i32, f32, f32, f32, f32, i32, f32, i32, i32][:n_out]
+    out_dtypes = [i32, f32, f32, f32, f32, i32]
     n_next = 4 if pipe else 0
     wnd_shape = ((2, _KB, WINY, WINX) if pipe else (_KB, WINY, WINX))
     sem_shape = ((2, _KB) if pipe else (_KB,))
-    blocked = (src, rb, cb, act, lx, ly, ratio) + state_in
+    blocked = (src, rb, cb, act, lx, ly, ratio)
     nxt_in = (src, rb, cb, act) if pipe else ()
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[blk() for _ in range(7 + n_state_in)]
+        in_specs=[blk() for _ in range(7)]
         + [blk_next() for _ in range(n_next)] + [
             pl.BlockSpec(memory_space=pltpu.HBM),    # stack
             pl.BlockSpec(memory_space=pltpu.VMEM),   # mask
@@ -639,83 +402,12 @@ def _call_kernel(stack, src, rb, cb, act, lx, ly, ratio, win, H, W,
         ],
         scratch_shapes=[
             pltpu.VMEM(wnd_shape, jnp.float32),
-            *extra_scratch,
             pltpu.SemaphoreType.DMA(sem_shape),
         ],
         interpret=interpret,
     )(*(a.reshape(-1, 1, _KB) for a in blocked),
       *(a.reshape(-1, 1, _KB) for a in nxt_in),
       stack, msk, jnp.asarray(aj), jnp.asarray(bi))
-
-
-# two-phase (or N-phase) lockstep schedule: iteration split points,
-# e.g. "6" or "4,8".  At each split the still-alive keypoints are
-# COMPACTED into dense blocks and the loop resumes — a lockstep block
-# stops paying for its slowest member across all 16 iterations.
-_PHASES_ENV = os.environ.get("HESAFF_AFFINE_PHASES", "")
-
-
-def _phase_bounds(cfg: HesaffConfig):
-    """[0, cut..., max_iterations] or None when phasing is off."""
-    if not (_LOCKSTEP and _PHASES_ENV):
-        return None
-    cuts = sorted({int(v) for v in _PHASES_ENV.split(",") if v.strip()})
-    cuts = [c for c in cuts if 0 < c < cfg.max_iterations]
-    if not cuts:
-        return None
-    return [0] + cuts + [cfg.max_iterations]
-
-
-def _run_phases(flat, src, rb, cb, act, lx, ly, ratio, win, H, W,
-                cfg: HesaffConfig, bounds, interpret: bool):
-    """Phased lockstep driver: run [b0,b1), compact survivors, resume.
-
-    Results live in absolute (padded-K) arrays; each phase gathers the
-    alive keypoints' windows metadata + carried state, runs the kernel
-    on the compacted selection, and scatters the outputs back (padding
-    slots target index Kp and drop).  Trajectories are bit-identical to
-    the single-run lockstep kernel — phases only partition the
-    iteration loop.
-    """
-    from hesaff_tpu.ops.batching import compact_indices
-
-    Kp = src.shape[0]
-    ones = jnp.ones((Kp,), jnp.float32)
-    zeros = jnp.zeros((Kp,), jnp.float32)
-    res = {
-        "ok": jnp.zeros((Kp,), jnp.int32),
-        "u11": ones, "u12": zeros, "u21": zeros, "u22": ones,
-        "iters": jnp.zeros((Kp,), jnp.int32),
-        "rbef": zeros,
-        "viol": jnp.zeros((Kp,), jnp.int32),
-        "alive": act,
-    }
-    for i0, i1 in zip(bounds[:-1], bounds[1:]):
-        idx, valid, _ = compact_indices(res["alive"] > 0, Kp)
-        actp = valid.astype(jnp.int32)
-        g = lambda a: a[idx]
-        state = (g(res["u11"]), g(res["u12"]), g(res["u21"]),
-                 g(res["u22"]), g(res["rbef"]), g(res["viol"]))
-        outs = _call_kernel(
-            flat, g(src), g(rb), g(cb), actp, g(lx), g(ly), g(ratio),
-            win, H, W, cfg, interpret=interpret,
-            state=state, it0=i0, it_end=i1,
-        )
-        ok, u11, u12, u21, u22, iters, rbef, viol, alive = (
-            o.reshape(-1) for o in outs)
-        tgt = jnp.where(valid, idx, Kp)
-        upd = lambda k, v: res[k].at[tgt].set(v, mode="drop")
-        res = {
-            "ok": upd("ok", ok),
-            "u11": upd("u11", u11), "u12": upd("u12", u12),
-            "u21": upd("u21", u21), "u22": upd("u22", u22),
-            "iters": upd("iters", iters),
-            "rbef": upd("rbef", rbef),
-            "viol": upd("viol", viol),
-            "alive": upd("alive", alive),
-        }
-    return (res["ok"], res["u11"], res["u12"], res["u21"], res["u22"],
-            res["iters"])
 
 
 def pallas_window_fits(cfg: HesaffConfig, height: int, width: int) -> bool:
@@ -775,18 +467,11 @@ def adapt_flat_pallas(blur_stacks: jnp.ndarray, img_idx, src_level,
     flat = blur_stacks.reshape(B * L, H, W)
     if Hp != H or Wp != W:
         flat = jnp.pad(flat, ((0, 0), (0, Hp - H), (0, Wp - W)))
-    bounds = _phase_bounds(cfg)
-    if bounds is not None:
-        ok, u11, u12, u21, u22, iters = _run_phases(
-            flat, src, rb, cb, act, lx, ly, ratio, win, H, W, cfg,
-            bounds, interpret)
-    else:
-        outs = _call_kernel(
-            flat, src, rb, cb, act, lx, ly, ratio, win, H, W, cfg,
-            interpret=interpret,
-        )
-        ok, u11, u12, u21, u22, iters = (
-            o.reshape(-1) for o in outs[:6])
+    outs = _call_kernel(
+        flat, src, rb, cb, act, lx, ly, ratio, win, H, W, cfg,
+        interpret=interpret,
+    )
+    ok, u11, u12, u21, u22, iters = (o.reshape(-1) for o in outs)
     sl = slice(0, K)
     return AffineResult(
         ok=ok[sl].astype(bool), u11=u11[sl], u12=u12[sl],

@@ -211,137 +211,8 @@ def blur_doh(img: jnp.ndarray, taps: tuple, norm2: float,
     )(img)
 
 
-def _make_chain_kernel(taps_list: tuple, norms: tuple, TB: int, HALO: int,
-                       H: int, W: int):
-    """Whole-octave ladder: blur_{k+1} = blur(blur_k) and DoH of every
-    level, one VMEM-resident pass per row block.  HALO >= sum of blur
-    radii + 1 (DoH), so rows [HALO, HALO+TB) of every level are exact."""
-    nlev = len(taps_list)                 # blurs produced (levels 1..n)
-
-    def doh(out, norm2, g):
-        lxx = (_shift_cols(out, -1) - 2.0 * out + _shift_cols(out, 1))
-        lyy = (_shift_rows(out, -1) - 2.0 * out + _shift_rows(out, 1))
-        d1 = _shift_rows(_shift_cols(out, 1), -1)
-        d2 = _shift_rows(_shift_cols(out, -1), -1)
-        d3 = _shift_rows(_shift_cols(out, -1), 1)
-        d4 = _shift_rows(_shift_cols(out, 1), 1)
-        lxy = (d1 - d2 + d3 - d4) * 0.25
-        resp = ((lxx * lyy - lxy * lxy) * norm2)[HALO:HALO + TB, :]
-        rows = (jax.lax.broadcasted_iota(jnp.int32, (TB, resp.shape[1]), 0)
-                + g * TB)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (TB, resp.shape[1]), 1)
-        interior = ((rows > 0) & (rows < H - 1)
-                    & (cols > 0) & (cols < W - 1))
-        return jnp.where(interior, resp, 0.0)
-
-    def kernel(up_ref, mid_ref, dn_ref, *out_refs):
-        g = pl.program_id(0)
-        blur_refs = out_refs[:nlev]
-        resp_refs = out_refs[nlev:]
-        cur = jnp.concatenate(
-            [up_ref[TB - HALO:, :], mid_ref[:], dn_ref[:HALO, :]], axis=0)
-        CR, CW = cur.shape
-        # global image coordinates of the concat rows/cols
-        gi = (jax.lax.broadcasted_iota(jnp.int32, (CR, CW), 0)
-              + g * TB - HALO)
-        ci = jax.lax.broadcasted_iota(jnp.int32, (CR, CW), 1)
-
-        def re_replicate(a):
-            """Replicate the level's OWN edge row/col into the padding
-            (per-level BORDER_REPLICATE, helpers.cpp:283-295 semantics —
-            blur-of-replicas != replica-of-blur, and the error would
-            compound level over level up to sum(radii) deep)."""
-            bot = jnp.minimum(H - 1 - g * TB + HALO, CR - 1)
-            sel_r = (jax.lax.broadcasted_iota(jnp.int32, (1, CR), 1)
-                     == bot).astype(jnp.float32)
-            erow = jnp.dot(sel_r, a, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
-            a = jnp.where(gi > H - 1, jnp.broadcast_to(erow, (CR, CW)), a)
-            top = jnp.maximum(HALO - g * TB, 0)
-            sel_t = (jax.lax.broadcasted_iota(jnp.int32, (1, CR), 1)
-                     == top).astype(jnp.float32)
-            trow = jnp.dot(sel_t, a, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
-            a = jnp.where(gi < 0, jnp.broadcast_to(trow, (CR, CW)), a)
-            sel_c = (jax.lax.broadcasted_iota(jnp.int32, (CW, 1), 0)
-                     == W - 1).astype(jnp.float32)
-            ecol = jnp.dot(a, sel_c, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
-            return jnp.where(ci > W - 1,
-                             jnp.broadcast_to(ecol, (CR, CW)), a)
-
-        resp_refs[0][:] = doh(cur, norms[0], g)
-        for k, taps in enumerate(taps_list):
-            r = len(taps) // 2
-            acc = None
-            for i, t in enumerate(taps):
-                term = t * _shift_rows(cur, i - r)
-                acc = term if acc is None else acc + term
-            out = None
-            for i, t in enumerate(taps):
-                term = t * _shift_cols(acc, i - r)
-                out = term if out is None else out + term
-            cur = re_replicate(out)
-            blur_refs[k][:] = cur[HALO:HALO + TB, :]
-            resp_refs[k + 1][:] = doh(cur, norms[k + 1], g)
-
-    return kernel
-
-
-def _chain_tb(HALO: int, Wp: int):
-    """Chain-kernel row-block size under the VMEM budget (~26 live
-    block-sized values through the unrolled ladder); None = overflow."""
-    TB = 256
-    while TB > 2 * HALO and 26 * (TB + 2 * HALO) * Wp * 4 > 12 * (1 << 20):
-        TB //= 2
-    if 26 * (TB + 2 * HALO) * Wp * 4 > 12 * (1 << 20):
-        return None
-    return TB
-
-
-def chain_fits(taps_list: tuple, width: int) -> bool:
-    """True when octave_chain_tiled's smallest row block fits VMEM
-    (callers fall back to the per-level blur_doh path otherwise)."""
-    margin = sum(len(t) // 2 for t in taps_list) + 1
-    return _chain_tb(_round_up(margin, 8), _round_up(width, 128)) is not None
-
-
-@functools.partial(jax.jit, static_argnames=("taps_list", "norms",
-                                             "interpret"))
-def octave_chain_tiled(first: jnp.ndarray, taps_list: tuple, norms: tuple,
-                       interpret: bool = False):
-    """Whole-octave fused ladder: from the octave's first level, produce
-    blurs 1..n and DoH responses 0..n in ONE row-block-tiled pass.
-
-    Replaces n sequential blur_doh dispatches + the level-0 DoH: the
-    intermediate levels never round-trip through HBM, and the per-call
-    Mosaic fixed costs collapse to one kernel.  taps_list: static tuple
-    of per-level tap tuples; norms: static per-level sigma^4 (len
-    == len(taps_list) + 1).  Returns (blurs tuple, resps tuple).
-    """
-    H, W = first.shape
-    margin = sum(len(t) // 2 for t in taps_list) + 1
-    HALO = _round_up(margin, 8)
-    Wp = _round_up(W, 128)
-    nlev = len(taps_list)
-    nout = 2 * nlev + 1
-    picked = _chain_tb(HALO, Wp)
-    assert picked is not None, "caller must gate on chain_fits"
-    TB = picked
-    NB = -(-H // TB)
-    Hp = (NB + 2) * TB
-
-    padded = jnp.pad(first, ((TB, Hp - TB - H), (0, Wp - W)), mode="edge")
-    kernel = _make_chain_kernel(taps_list, norms, TB, HALO, H, W)
-    blk = lambda off: pl.BlockSpec((TB, Wp), lambda g, o=off: (g + o, 0),
-                                   memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
-        kernel,
-        grid=(NB,),
-        in_specs=[blk(0), blk(1), blk(2)],
-        out_specs=[pl.BlockSpec((TB, Wp), lambda g: (g, 0))] * nout,
-        out_shape=[jax.ShapeDtypeStruct((NB * TB, Wp), jnp.float32)] * nout,
-        interpret=interpret,
-    )(padded, padded, padded)
-    outs = [o[:H, :W] for o in outs]
-    return tuple(outs[:nlev]), tuple(outs[nlev:])
+# (A whole-octave fused ladder kernel — blur chain + 5 DoH in one tiled
+# pass — lived here through round 3.  The on-chip A/B measured 38.8k
+# vs 52.7k desc/s for the per-level path: the mega-kernel serialized
+# levels XLA otherwise overlaps and its halo grew with the summed blur
+# radii.  Deleted per the sweep record in PERF.md.)

@@ -55,8 +55,7 @@ _PROFILE = os.environ.get("HESAFF_PATCH_PROFILE", "")
 
 
 def group_geometry(bucket: int, height: int, width: int,
-                   patch_size: int, smooth_factor: float,
-                   narrow: bool = False):
+                   patch_size: int, smooth_factor: float):
     """Static (WY, WX, KMAX, LY, CY, CX) for a bucket-group kernel.
 
     CY/CX are the coverage window sides (what the warp extent needs,
@@ -65,21 +64,17 @@ def group_geometry(bucket: int, height: int, width: int,
     requires provably tile-aligned dynamic HBM slices), so the copied
     window carries +8 / +128 margin, capped at the padded image dims.
 
-    The default geometry covers the anisotropy-6 worst case (row norms
-    up to sqrt(6): y extent (|a21|+a22) up to ~3.5, affine.cpp:89);
-    `narrow` sizes for the near-isotropic majority — callers must route
-    only keypoints satisfying `extent_fits_narrow` here (the kernel
-    reads silently-zero samples outside its DMA window otherwise).
-    DMA volume and the x-pass matmul shrink ~2.5x.
+    The geometry covers the anisotropy-6 worst case (row norms up to
+    sqrt(6): y extent (|a21|+a22) up to ~3.5, affine.cpp:89).  A
+    narrow-geometry variant for the near-isotropic majority was A/B'd
+    on chip in round 3 and LOST (43.5k vs 52.7k desc/s — splitting each
+    group into two kernels doubled the dominant per-grid-step fixed
+    costs); deleted, see PERF.md.
     """
     hp = _round_up(height, 8)
     wp = _round_up(width, 128)
-    if narrow:
-        cy = min(height, _round_up(int(1.6 * bucket) + 16, 8))
-        cx = min(width, _round_up(int(1.4 * bucket) + 16, 8))
-    else:
-        cy = min(height, ((int(3.5 * bucket) + 15) // 8) * 8)
-        cx = min(width, ((int(2.5 * bucket) + 15) // 8) * 8)
+    cy = min(height, ((int(3.5 * bucket) + 15) // 8) * 8)
+    cx = min(width, ((int(2.5 * bucket) + 15) // 8) * 8)
     wy = min(hp, cy + 8)
     wx = min(wp, _round_up(cx, 128) + 128)
     its_max = (bucket - 2) / patch_size
@@ -89,41 +84,18 @@ def group_geometry(bucket: int, height: int, width: int,
     return wy, wx, kmax, ly, cy, cx
 
 
-def extent_fits_narrow(ws, a11, a21, a22, bucket: int, height: int,
-                       width: int, patch_size: int, smooth_factor: float):
-    """Per-keypoint mask: the warp extent fits the `narrow` coverage
-    window (so the keypoint may route to the narrow-geometry kernel).
-
-    Sampling spans x in +-(a11*half + 1) and y in +-((|a21|+a22)*half
-    + 1) around the center (rectified frames: a12 = 0), plus 1 for the
-    bilinear floor — the +2 slack covers both.
-    """
-    _, _, _, _, cy, cx = group_geometry(
-        bucket, height, width, patch_size, smooth_factor, narrow=True)
-    half = (ws >> 1).astype(jnp.float32)
-    fy = (jnp.abs(a21) + a22) * half + 2.0 <= cy // 2
-    fx = a11 * half + 2.0 <= cx // 2
-    return fy & fx
-
-
-def _group_kb(bucket: int, narrow: bool = False) -> int:
+def _group_kb(bucket: int) -> int:
     """Keypoints per grid step, bounded by the 16 MB scoped VMEM
     (window scratch KB*WY*WX*4 dominates; measured: bucket 193 at KB=4
-    allocates 16.16 MB).  Narrow-geometry windows are ~2.5x smaller,
-    affording ~2x the block.
+    allocates 16.16 MB).
 
     HESAFF_PATCH_KB overrides the small-bucket (<=128) block size for
     on-chip sweeps — fewer grid steps amortize per-step fixed costs
     (DMA waits, scalar-core band setup); patches_pallas halves an
-    override that would blow the scoped-VMEM budget."""
-    if narrow:
-        if bucket <= 128:
-            kb = 16
-        elif bucket <= 160:
-            kb = 8
-        else:
-            return 4 if bucket <= 512 else 2
-    elif bucket <= 128:
+    override that would blow the scoped-VMEM budget.  The override is
+    rounded down to a power of two so halving preserves the caller's
+    K-divisibility."""
+    if bucket <= 128:
         kb = 8
     elif bucket <= 160:
         return 4
@@ -132,6 +104,8 @@ def _group_kb(bucket: int, narrow: bool = False) -> int:
     env = os.environ.get("HESAFF_PATCH_KB", "")
     if env:
         kb = max(1, int(env))
+        while kb & (kb - 1):
+            kb &= kb - 1          # round down to a power of two
     return kb
 
 
@@ -416,11 +390,11 @@ def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("bucket", "cfg", "narrow",
+@functools.partial(jax.jit, static_argnames=("bucket", "cfg",
                                               "interpret"))
 def patches_pallas(images: jnp.ndarray, bucket: int, act, img_idx, rb, cb,
                    ws, x, y, a11, a21, a22, its, taps, cfg: HesaffConfig,
-                   narrow: bool = False, interpret: bool = False):
+                   interpret: bool = False):
     """Fused patch pipeline over K keypoints of one bucket group.
 
     images: (B, H, W) f32 (HBM; padded in-graph to (8,128) tiles);
@@ -433,11 +407,10 @@ def patches_pallas(images: jnp.ndarray, bucket: int, act, img_idx, rb, cb,
     """
     B, H, W = images.shape
     K = act.shape[0]
-    KB = _group_kb(bucket, narrow)
+    KB = _group_kb(bucket)
     assert K % KB == 0
     WY, WX, KMAX, LY, _, _ = group_geometry(
-        bucket, H, W, cfg.patch_size, cfg.patch_smooth_factor,
-        narrow=narrow)
+        bucket, H, W, cfg.patch_size, cfg.patch_smooth_factor)
     assert taps.shape[1] == KMAX
     P = cfg.patch_size
     Hp = _round_up(H, 8)
@@ -470,11 +443,16 @@ def patches_pallas(images: jnp.ndarray, bucket: int, act, img_idx, rb, cb,
             total += 4 * n
         return total
 
-    # an env-raised block (power of two) halves back down until the
-    # un-piped scratch fits; K stays a multiple (callers pad to the
-    # same _group_kb, and halving preserves divisibility)
-    while KB > 1 and vmem_bytes(scratch_for(False)) > 14_500_000:
-        KB //= 2
+    # an env-raised block halves back down until the un-piped scratch
+    # fits the measured scoped-VMEM budget (16.16 MB validated on chip;
+    # see _group_kb).  Applies ONLY to HESAFF_PATCH_KB overrides —
+    # default block sizes are the validated ones and keep their
+    # geometry even where this estimate is pessimistic.  K stays a
+    # multiple: KB is a power of two, so every halving divides the
+    # caller's padding block.
+    if os.environ.get("HESAFF_PATCH_KB", ""):
+        while KB > 1 and vmem_bytes(scratch_for(False)) > 16_600_000:
+            KB //= 2
 
     # double-buffered window prefetch only where the doubled scratch
     # still fits the 16 MB scoped-VMEM budget (derived from the actual
@@ -534,8 +512,7 @@ def patches_pallas(images: jnp.ndarray, bucket: int, act, img_idx, rb, cb,
 
 def extract_group_pallas(images: jnp.ndarray, bucket: int, img_idx,
                          x, y, s, a11, a21, a22, cfg: HesaffConfig,
-                         active, narrow: bool = False,
-                         interpret: bool = False):
+                         active, interpret: bool = False):
     """XLA-side wrapper: per-keypoint parameters + corner check + kernel.
 
     Mirrors patches.extract_bucket_batch for the blur branch (the
@@ -549,7 +526,7 @@ def extract_group_pallas(images: jnp.ndarray, bucket: int, img_idx,
     P = cfg.patch_size
     K = x.shape[0]
     WY, WX, KMAX, _, CY, CX = group_geometry(
-        bucket, H, W, P, cfg.patch_smooth_factor, narrow=narrow)
+        bucket, H, W, P, cfg.patch_smooth_factor)
     Hp = _round_up(H, 8)
     Wp = _round_up(W, 128)
 
@@ -584,7 +561,7 @@ def extract_group_pallas(images: jnp.ndarray, bucket: int, img_idx,
     cb = jnp.where(active, cb, 0)
     ws_s = jnp.where(active, ws, 3)
 
-    KB = _group_kb(bucket, narrow)
+    KB = _group_kb(bucket)
     pad = (-K) % KB
     if pad:
         padded = lambda a: jnp.concatenate(
@@ -595,7 +572,7 @@ def extract_group_pallas(images: jnp.ndarray, bucket: int, img_idx,
 
     patches, bad = patches_pallas(
         images, bucket, act, img, rb, cb, ws_s, x, y, a11, a21, a22,
-        its, taps, cfg, narrow=narrow, interpret=interpret,
+        its, taps, cfg, interpret=interpret,
     )
     bad = bad.reshape(-1)
     sl = slice(0, K)

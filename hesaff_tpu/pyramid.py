@@ -14,14 +14,9 @@ octave loop unrolled.
 from __future__ import annotations
 
 import math
-import os
 from typing import NamedTuple
 
 import jax.numpy as jnp
-
-# fuse the whole octave ladder (blurs + DoH) into one tiled Pallas pass
-# (env-gated until validated on-chip)
-_OCTAVE_CHAIN = os.environ.get("HESAFF_OCTAVE_CHAIN", "0") == "1"
 
 from hesaff_tpu.config import HesaffConfig
 from hesaff_tpu.ops.blur import gaussian_blur_traced, gaussian_taps
@@ -100,28 +95,9 @@ def build_octave(first_level: jnp.ndarray, pixel_distance: float,
     use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
     whole = pallas_blur.fits_vmem(H, W)
 
-    if use_pallas and _OCTAVE_CHAIN:
-        # whole ladder in one tiled pass (no HBM round-trips between
-        # levels, one dispatch instead of num_scales+2)
-        taps_list = tuple(
-            tuple(float(t) for t in gaussian_taps(
-                sigmas[i] * math.sqrt(step * step - 1.0)))
-            for i in range(cfg.num_scales + 1))
-        norms = tuple(float(s ** 4) for s in sigmas)
-        if not pallas_blur.chain_fits(taps_list, W):
-            taps_list = None   # very wide level: per-level path below
-    else:
-        taps_list = None
-    if taps_list is not None:
-        cblurs, cresps = pallas_blur.octave_chain_tiled(
-            first_level, taps_list, norms)
-        blurs = jnp.stack([first_level, *cblurs])
-        next_first = half_image(cblurs[cfg.num_scales - 1])
-        return Octave(
-            blurs=blurs, resps=jnp.stack(cresps), sigmas=tuple(sigmas),
-            pixel_distance=pixel_distance, next_first=next_first,
-        )
-
+    # (a whole-ladder single-pass Pallas chain was built and A/B'd on
+    # chip in round 3: 38.8k vs 52.7k desc/s — one mega-kernel
+    # serialized what XLA overlaps across levels; deleted, see PERF.md)
     blurs = [first_level]
     resps = [hessian_response(first_level, sigmas[0] ** 2)]
     for i in range(cfg.num_scales + 1):

@@ -100,108 +100,10 @@ def test_pallas_affine_matches_xla():
                                   np.asarray(out.iters)[m])
 
 
-def test_pallas_affine_lockstep_matches_xla():
-    """The lockstep kernel variant (one while_loop, masked updates)
-    produces the same ok/U/iters as the per-keypoint-loop variant's
-    reference path."""
-    import jax
-
-    from hesaff_tpu.affine_shape import adapt_flat
-    from hesaff_tpu.config import HesaffConfig
-    from hesaff_tpu.ops import pallas_affine
-
-    cfg = HesaffConfig()
-    rng = np.random.default_rng(1)
-    B, L, H, W = 2, 2, 200, 160
-    stacks = jnp.asarray(_smooth_stacks(rng, B, L, H, W))
-    K = 32
-    img_idx = jnp.asarray(rng.integers(0, B, K), np.int32)
-    src = jnp.asarray(rng.integers(0, L, K), np.int32)
-    x = jnp.asarray(rng.uniform(20, W - 20, K), jnp.float32)
-    y = jnp.asarray(rng.uniform(20, H - 20, K), jnp.float32)
-    s = jnp.asarray(rng.uniform(2.0, 5.0, K), jnp.float32)
-    active = jnp.asarray(rng.uniform(size=K) > 0.2)
-
-    ref = adapt_flat(stacks, img_idx, src, x, y, s, 1.0, cfg, active=active)
-    old = pallas_affine._LOCKSTEP
-    pallas_affine._LOCKSTEP = True
-    jax.clear_caches()   # the flag is read at trace time
-    try:
-        out = pallas_affine.adapt_flat_pallas(
-            stacks, img_idx, src, x, y, s, 1.0, cfg,
-            active=active, interpret=True)
-    finally:
-        pallas_affine._LOCKSTEP = old
-        jax.clear_caches()
-    act = np.asarray(active)
-    ro = np.asarray(ref.ok) & act
-    po = np.asarray(out.ok) & act
-    np.testing.assert_array_equal(ro, po)
-    m = ro & po
-    for f in ("u11", "u12", "u21", "u22"):
-        np.testing.assert_allclose(np.asarray(getattr(ref, f))[m],
-                                   np.asarray(getattr(out, f))[m],
-                                   rtol=1e-4, atol=5e-5)
-    np.testing.assert_array_equal(np.asarray(ref.iters)[m],
-                                  np.asarray(out.iters)[m])
-
-
-def test_pallas_affine_two_phase_matches_xla():
-    """Phased lockstep (HESAFF_AFFINE_PHASES): stop at the split,
-    compact the still-alive keypoints, resume from carried state — the
-    final ok/U/iters must be identical to the unphased path (phases
-    only partition the iteration loop)."""
-    import jax
-
-    from hesaff_tpu.affine_shape import adapt_flat
-    from hesaff_tpu.config import HesaffConfig
-    from hesaff_tpu.ops import pallas_affine
-
-    cfg = HesaffConfig()
-    rng = np.random.default_rng(5)
-    B, L, H, W = 2, 2, 200, 160
-    stacks = jnp.asarray(_smooth_stacks(rng, B, L, H, W))
-    K = 48
-    img_idx = jnp.asarray(rng.integers(0, B, K), np.int32)
-    src = jnp.asarray(rng.integers(0, L, K), np.int32)
-    x = jnp.asarray(rng.uniform(20, W - 20, K), jnp.float32)
-    y = jnp.asarray(rng.uniform(20, H - 20, K), jnp.float32)
-    s = jnp.asarray(rng.uniform(2.0, 5.0, K), jnp.float32)
-    active = jnp.asarray(rng.uniform(size=K) > 0.2)
-
-    ref = adapt_flat(stacks, img_idx, src, x, y, s, 1.0, cfg, active=active)
-    old_lock = pallas_affine._LOCKSTEP
-    old_ph = pallas_affine._PHASES_ENV
-    pallas_affine._LOCKSTEP = True
-    pallas_affine._PHASES_ENV = "4,8"
-    jax.clear_caches()   # flags are read at trace time
-    try:
-        out = pallas_affine.adapt_flat_pallas(
-            stacks, img_idx, src, x, y, s, 1.0, cfg,
-            active=active, interpret=True)
-    finally:
-        pallas_affine._LOCKSTEP = old_lock
-        pallas_affine._PHASES_ENV = old_ph
-        jax.clear_caches()
-    act = np.asarray(active)
-    ro = np.asarray(ref.ok) & act
-    po = np.asarray(out.ok) & act
-    np.testing.assert_array_equal(ro, po)
-    m = ro & po
-    assert m.sum() >= 10
-    for f in ("u11", "u12", "u21", "u22"):
-        np.testing.assert_allclose(np.asarray(getattr(ref, f))[m],
-                                   np.asarray(getattr(out, f))[m],
-                                   rtol=1e-4, atol=5e-5)
-    np.testing.assert_array_equal(np.asarray(ref.iters)[m],
-                                  np.asarray(out.iters)[m])
-
-
 def test_pallas_affine_dma_pipeline_matches_xla():
     """Cross-grid-step DMA double buffering (HESAFF_AFFINE_DMA_PIPE):
     step g prefetches step g+1's windows into the other buffer slot.
-    Results must be identical for the per-keypoint, lockstep, and
-    phased-lockstep variants."""
+    Results must be identical to the un-piped path."""
     import jax
 
     from hesaff_tpu.affine_shape import adapt_flat
@@ -222,29 +124,28 @@ def test_pallas_affine_dma_pipeline_matches_xla():
     ref = adapt_flat(stacks, img_idx, src, x, y, s, 1.0, cfg,
                      active=active)
 
-    saved = (pa._LOCKSTEP, pa._PHASES_ENV, pa._DMA_PIPE)
+    saved = pa._DMA_PIPE
     try:
-        for lock, phases in [(False, ""), (True, ""), (True, "4,8")]:
-            pa._LOCKSTEP, pa._PHASES_ENV, pa._DMA_PIPE = lock, phases, True
-            jax.clear_caches()
-            out = pa.adapt_flat_pallas(stacks, img_idx, src, x, y, s,
-                                       1.0, cfg, active=active,
-                                       interpret=True)
-            act = np.asarray(active)
-            ro = np.asarray(ref.ok) & act
-            po = np.asarray(out.ok) & act
-            np.testing.assert_array_equal(ro, po)
-            m = ro & po
-            assert m.sum() >= 10
-            for f in ("u11", "u12", "u21", "u22"):
-                np.testing.assert_allclose(
-                    np.asarray(getattr(ref, f))[m],
-                    np.asarray(getattr(out, f))[m],
-                    rtol=1e-4, atol=5e-5)
-            np.testing.assert_array_equal(np.asarray(ref.iters)[m],
-                                          np.asarray(out.iters)[m])
+        pa._DMA_PIPE = True
+        jax.clear_caches()
+        out = pa.adapt_flat_pallas(stacks, img_idx, src, x, y, s,
+                                   1.0, cfg, active=active,
+                                   interpret=True)
+        act = np.asarray(active)
+        ro = np.asarray(ref.ok) & act
+        po = np.asarray(out.ok) & act
+        np.testing.assert_array_equal(ro, po)
+        m = ro & po
+        assert m.sum() >= 10
+        for f in ("u11", "u12", "u21", "u22"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(ref, f))[m],
+                np.asarray(getattr(out, f))[m],
+                rtol=1e-4, atol=5e-5)
+        np.testing.assert_array_equal(np.asarray(ref.iters)[m],
+                                      np.asarray(out.iters)[m])
     finally:
-        pa._LOCKSTEP, pa._PHASES_ENV, pa._DMA_PIPE = saved
+        pa._DMA_PIPE = saved
         jax.clear_caches()
 
 
@@ -557,126 +458,3 @@ def test_detect_maps_pallas_matches_xla(request):
                                    rtol=1e-3, atol=1e-3)
 
 
-def test_pallas_patches_narrow_class_matches_bucket_path():
-    """The narrow-geometry kernel variant (small DMA window for
-    near-isotropic keypoints) matches extract_bucket_batch on keypoints
-    that satisfy extent_fits_narrow."""
-    from hesaff_tpu.config import HesaffConfig
-    from hesaff_tpu.ops.pallas_patches import (extent_fits_narrow,
-                                               extract_group_pallas)
-    from hesaff_tpu.patches import extract_bucket_batch
-
-    cfg = HesaffConfig()
-    rng = np.random.default_rng(9)
-    B, H, W = 2, 240, 320
-    img = _smooth_stacks(rng, 1, B, H, W)[0]
-    images = jnp.asarray(img)
-
-    bucket, smin, smax = 49, 1.6, 4.2
-    K = 32
-    img_idx = jnp.asarray(rng.integers(0, B, K), jnp.int32)
-    x = jnp.asarray(rng.uniform(40, W - 40, K), jnp.float32)
-    y = jnp.asarray(rng.uniform(40, H - 40, K), jnp.float32)
-    s = jnp.asarray(rng.uniform(smin, smax, K), jnp.float32)
-    a21 = jnp.asarray(rng.normal(0, 0.2, K), jnp.float32)
-    d = jnp.asarray(np.exp(rng.normal(0, 0.15, K)), jnp.float32)
-    ws = 2 * jnp.ceil(s * cfg.mr_size).astype(jnp.int32) + 3
-    fits = extent_fits_narrow(ws, d, a21, 1.0 / d, bucket, H, W,
-                              cfg.patch_size, cfg.patch_smooth_factor)
-    assert np.asarray(fits).mean() > 0.8   # population is mostly narrow
-    active = jnp.asarray(rng.uniform(size=K) > 0.2) & fits
-
-    pk_ref, ok_ref = extract_bucket_batch(
-        images, bucket, img_idx, x, y, s, d, jnp.zeros(K), a21, 1.0 / d,
-        cfg, active=active)
-    pk, ok = extract_group_pallas(
-        images, bucket, img_idx, x, y, s, d, a21, 1.0 / d, cfg,
-        active=active, narrow=True, interpret=True)
-    ro = np.asarray(ok_ref) & np.asarray(active)
-    np.testing.assert_array_equal(ro, np.asarray(ok))
-    if ro.any():
-        np.testing.assert_allclose(np.asarray(pk_ref)[ro],
-                                   np.asarray(pk)[ro], atol=1e-3)
-
-
-def test_grouped_extraction_classes_matches_staged(monkeypatch):
-    """extraction_step_grouped with the narrow/wide extent split equals
-    the per-bucket staged path (same keypoints, same descriptors)."""
-    import sys
-
-    sys.path.insert(0, os.path.join(os.path.dirname(
-        os.path.abspath(__file__)), "golden"))
-    import gen_images
-
-    import hesaff_tpu.dist as dist
-    from hesaff_tpu.config import HesaffConfig
-    from hesaff_tpu.dist import (
-        default_bucket_spec,
-        default_group_spec,
-        extraction_step_grouped,
-        extraction_step_staged,
-    )
-
-    monkeypatch.setattr(dist, "_PATCH_CLASSES", True)
-    cfg = HesaffConfig()
-    B, H, W = 2, 160, 128
-    imgs = np.stack([
-        gen_images.synth_image(W, H, seed=s).astype(np.float32).mean(-1)
-        for s in range(B)
-    ])
-    images = jnp.asarray(imgs)
-    buckets = default_bucket_spec(H, W, cfg, per_image_cap=512, batch=B)
-    groups = default_group_spec(H, W, cfg, per_image_cap=512, batch=B)
-    ref = extraction_step_staged(images, cfg, buckets)
-    out = extraction_step_grouped(images, cfg, groups, interpret=True)
-    rv = np.asarray(ref.valid)
-    ov = np.asarray(out.valid)
-    assert rv.sum() == ov.sum()
-    assert int(ref.overflow) == int(out.overflow) == 0
-
-    def keyed(d, v):
-        return {
-            (round(float(a), 3), round(float(b), 3), round(float(c), 3)): i
-            for i, (a, b, c) in enumerate(
-                zip(np.asarray(d.x)[v], np.asarray(d.y)[v],
-                    np.asarray(d.s)[v]))
-        }
-
-    rk = keyed(ref, rv)
-    gk = keyed(out, ov)
-    assert set(rk) == set(gk)
-    rd = np.asarray(ref.desc)[rv].astype(int)
-    od = np.asarray(out.desc)[ov].astype(int)
-    for key in rk:
-        assert np.abs(rd[rk[key]] - od[gk[key]]).max() <= 1
-
-
-def test_octave_chain_matches_ladder(golden_small):
-    """Whole-octave fused chain kernel (interpret) reproduces the golden
-    blur ladder + DoH stacks at the same tolerances as the per-level
-    kernels."""
-    import math
-
-    from hesaff_tpu.config import HesaffConfig
-    from hesaff_tpu.ops.pallas_blur import octave_chain_tiled
-
-    cfg = HesaffConfig()
-    sig = [cfg.initial_sigma * cfg.sigma_step**k for k in range(5)]
-    first = jnp.asarray(golden_small["oct0_blur0"])
-    taps_list = tuple(
-        tuple(float(t) for t in gaussian_taps(
-            sig[i] * math.sqrt(cfg.sigma_step**2 - 1.0)))
-        for i in range(cfg.num_scales + 1))
-    norms = tuple(float(s**4) for s in sig)
-    blurs, resps = octave_chain_tiled(first, taps_list, norms,
-                                      interpret=True)
-    for k in range(1, 5):
-        np.testing.assert_allclose(
-            np.asarray(blurs[k - 1]), golden_small[f"oct0_blur{k}"],
-            atol=2e-2)
-    for k in range(5):
-        # interior only: the oracle's 1-px resp border is uninitialized
-        np.testing.assert_allclose(
-            np.asarray(resps[k])[1:-1, 1:-1],
-            golden_small[f"oct0_resp{k}"][1:-1, 1:-1],
-            atol=0.3)

@@ -52,26 +52,6 @@ def probe_blur_tiled(jnp):
     np.asarray(blur)
 
 
-def probe_octave_chain(jnp):
-    from hesaff_tpu.config import HesaffConfig
-    from hesaff_tpu.ops.blur import gaussian_taps
-    from hesaff_tpu.ops.pallas_blur import chain_fits, octave_chain_tiled
-
-    cfg = HesaffConfig()
-    sigmas = [cfg.initial_sigma * cfg.sigma_step**k for k in range(5)]
-    taps_list = tuple(
-        tuple(float(t) for t in gaussian_taps(
-            s * float(np.sqrt(cfg.sigma_step**2 - 1.0))))
-        for s in sigmas[:4])
-    norms = tuple(float(s**4) for s in sigmas)
-    if not chain_fits(taps_list, 256):
-        raise RuntimeError("chain_fits unexpectedly false at W=256")
-    rng = np.random.RandomState(2)
-    img = jnp.asarray(_smooth(rng, (200, 256)))
-    blurs, responses = octave_chain_tiled(img, taps_list, norms)
-    np.asarray(blurs[0])
-
-
 def probe_detect(jnp):
     from hesaff_tpu.config import HesaffConfig
     from hesaff_tpu.ops.pallas_detect import detect_maps_pallas
@@ -143,7 +123,6 @@ def probe_sift(jnp):
 PROBES = {
     "blur": probe_blur,
     "blur_tiled": probe_blur_tiled,
-    "octave_chain": probe_octave_chain,
     "detect": probe_detect,
     "affine": probe_affine,
     "patches": probe_patches,
