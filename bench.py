@@ -99,6 +99,95 @@ def _stage_breakdown(images, cfg, groups, iters=3):
     t("sift", lambda: _sift_masked_stage(patches, pvalid, cfg))
 
 
+def _verify_on_chip(images, cfg, out, args) -> None:
+    """On-chip numeric parity gate: the fused-Pallas grouped result must
+    match the all-XLA twin pipeline ON THE SAME HARDWARE, at the same
+    tolerances the interpret-mode tests use (U within 0.02, descriptors
+    within +-2 quantization steps).  A silently mis-lowered Mosaic
+    kernel (the failure class that struck twice in rounds 2-3: scf.yield
+    vector<i1>, atan2) fails here and the bench refuses to print a
+    headline.  Exits nonzero on failure.
+    """
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from hesaff_tpu.dist import default_bucket_spec, extraction_step_staged
+
+    cfg_x = dataclasses.replace(cfg, use_pallas=False)
+    buckets = default_bucket_spec(args.height, args.width, cfg_x,
+                                  per_image_cap=args.cap,
+                                  batch=images.shape[0])
+    ref = extraction_step_staged(images, cfg_x, buckets)
+    jax.block_until_ready(ref)
+
+    pv = np.asarray(out.valid)
+    rv = np.asarray(ref.valid)
+    problems = []
+    n_p, n_r = int(pv.sum()), int(rv.sum())
+    if abs(n_p - n_r) > 0.01 * max(n_r, 1):
+        problems.append(f"count mismatch: pallas={n_p} xla={n_r}")
+    # match by image + quantized geometry (identical algorithms modulo
+    # kernel precision: positions agree to ~1e-3 px)
+    def keyed(o, v):
+        img = np.asarray(o.img_idx)[v] if hasattr(o, "img_idx") else \
+            np.zeros(v.sum(), np.int32)
+        return {
+            (int(im), round(float(x), 2), round(float(y), 2),
+             round(float(s), 2)): i
+            for i, (im, x, y, s) in enumerate(zip(
+                img, np.asarray(o.x)[v], np.asarray(o.y)[v],
+                np.asarray(o.s)[v]))
+        }
+
+    kp = keyed(out, pv)
+    kr = keyed(ref, rv)
+    common = set(kp) & set(kr)
+    if len(common) < 0.99 * max(n_r, 1):
+        problems.append(
+            f"geometry match {len(common)}/{n_r} below 99%")
+    if common:
+        ip = np.asarray([kp[k] for k in common])
+        ir = np.asarray([kr[k] for k in common])
+        # a handful of threshold-adjacent keypoints legitimately flip
+        # convergence iteration between the bf16x3 Pallas path and the
+        # HIGHEST XLA path (documented in pallas_affine's module doc);
+        # their U and descriptors then differ materially.  The gate is
+        # therefore distributional: the BULK must be tight (p99.5) and
+        # outliers must stay rare — a mis-lowered kernel shifts the
+        # whole distribution and still fails loudly.
+        for f in ("a11", "a12", "a21", "a22"):
+            dp = np.asarray(getattr(out, f))[pv][ip]
+            dr = np.asarray(getattr(ref, f))[rv][ir]
+            d = np.abs(dp - dr)
+            p995 = float(np.quantile(d, 0.995))
+            frac_loose = float((d > 0.02).mean())
+            if p995 > 0.02 or frac_loose > 0.002:
+                problems.append(
+                    f"{f} diverges: p99.5={p995:.4f} "
+                    f"frac>|0.02|={frac_loose:.4f}")
+        dp = np.asarray(out.desc)[pv][ip].astype(np.int32)
+        dr = np.asarray(ref.desc)[rv][ir].astype(np.int32)
+        dkp = np.abs(dp - dr).max(axis=1)          # per-keypoint max
+        dmean = float(np.abs(dp - dr).mean())
+        frac_div = float((dkp > 2).mean())
+        # measured healthy state: frac_div ~0.005 (threshold-flip
+        # keypoints); a mis-lowered kernel pushes this to ~1.0
+        if dmean > 0.05 or frac_div > 0.012:
+            problems.append(
+                f"descriptors diverge: mean L1={dmean:.4f} "
+                f"frac kp max>2 = {frac_div:.4f}")
+        print(f"# verify: matched {len(common)}/{n_r}, desc mean L1="
+              f"{dmean:.4f}, kp max>2 frac={frac_div:.4f}, "
+              f"U p99.5={p995:.4f}", file=sys.stderr)
+    if problems:
+        for p in problems:
+            print(f"# VERIFY FAILED: {p}", file=sys.stderr)
+        sys.exit(1)
+    print("# verify: on-chip Pallas/XLA parity OK", file=sys.stderr)
+
+
 def _wait_for_backend(max_wait_s: float = 1500.0) -> None:
     """Block until the TPU backend answers a tiny probe, bounded.
 
@@ -154,6 +243,10 @@ def main():
                     help="print a sync-timed per-stage breakdown first "
                          "(adds tunnel latency; headline numbers stay "
                          "pipelined)")
+    ap.add_argument("--no-verify", action="store_true",
+                    help="skip the on-chip Pallas-vs-XLA parity gate "
+                         "(default: a parity failure aborts before the "
+                         "headline prints)")
     args = ap.parse_args()
 
     if not args.cpu:
@@ -230,6 +323,9 @@ def main():
         out = step(images)
         jax.block_until_ready(out)
     t_compile = time.perf_counter() - t0
+
+    if on_tpu and not args.no_verify:
+        _verify_on_chip(images, cfg, out, args)
 
     if args.stages and on_tpu:
         _stage_breakdown(images, cfg, groups)

@@ -53,7 +53,10 @@ def main():
 
     from hesaff_tpu.utils.fleet import extract_fleet, pad_to_bucket
 
-    # mixed-size corpus: two shape buckets (even split), written as PNGs
+    # mixed-size corpus: two shape buckets (even split), written as
+    # PNGs.  Paths are ordered shape-major (all of one size first) —
+    # the scheduling a real fleet uses so extraction chunks stay
+    # shape-homogeneous and each bucket compiles once at full batch.
     sizes = [(800, 640), (640, 512)]
     tmp = tempfile.mkdtemp(prefix="fleet_bench_")
     corpus = os.path.join(tmp, "corpus")
@@ -62,7 +65,7 @@ def main():
     paths = []
     t0 = time.perf_counter()
     for i in range(args.n):
-        w, h = sizes[i % len(sizes)]
+        w, h = sizes[i * len(sizes) // args.n]
         img = (gen_images.synth_image(w, h, seed=i)
                .astype(np.float32).mean(axis=-1))
         p = os.path.join(corpus, f"img_{i:04d}.png")
