@@ -51,14 +51,24 @@ def main():
 
     import gen_images
     from hesaff_tpu.config import HesaffConfig
-    from hesaff_tpu.dist import default_bucket_spec, extraction_step_staged
+    from hesaff_tpu.dist import (
+        default_bucket_spec,
+        default_group_spec,
+        extraction_step_grouped,
+        extraction_step_staged,
+    )
     from hesaff_tpu.retrieval import DescriptorIndex, rank_images
 
     cfg = HesaffConfig()
     H, W, B = args.height, args.width, args.batch
-    buckets = default_bucket_spec(H, W, cfg, per_image_cap=args.cap,
-                                  batch=B)
-    step = lambda im: extraction_step_staged(im, cfg, buckets)
+    if not args.cpu and jax.default_backend() == "tpu":
+        groups = default_group_spec(H, W, cfg, per_image_cap=args.cap,
+                                    batch=B)
+        step = lambda im: extraction_step_grouped(im, cfg, groups)
+    else:
+        buckets = default_bucket_spec(H, W, cfg, per_image_cap=args.cap,
+                                      batch=B)
+        step = lambda im: extraction_step_staged(im, cfg, buckets)
 
     rng = np.random.default_rng(0)
     n = (args.n + B - 1) // B * B
