@@ -160,12 +160,15 @@ def extraction_step(images: jnp.ndarray, cfg: HesaffConfig,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _phase_a_flat(images, cfg: HesaffConfig):
+def _phase_a_flat(images, cfg: HesaffConfig, valid_hw=None):
     """Phase A producing flattened per-keypoint fields (device-resident).
 
     Also returns the octave first levels (pyramid by-products) for the
-    phase-B pyramid-tail patch source."""
-    out = detect_affine_batch(images, cfg)
+    phase-B pyramid-tail patch source.  valid_hw: optional (B, 2) int32
+    per-image TRUE dims when the batch is edge-padded to a shape bucket
+    (mixed-size fleets) — detection scan windows and phase-B boundary
+    checks then ride the true dims (batch.extract_batch contract)."""
+    out = detect_affine_batch(images, cfg, valid_hw=valid_hw)
     levels = out.pop("next_firsts")
     flat = {k: v.reshape(-1) for k, v in out.items()
             if k not in ("overflow", "n_cand")}
@@ -282,7 +285,7 @@ def _compact_and_gather(flat, m, bcap: int, ncap: int):
                                     "ncap", "mixed", "interpret"))
 def _group_select_stage(images, flat, cfg: HesaffConfig, bsize: int,
                         bcap: int, prev: int, ncap: int, mixed: bool,
-                        interpret: bool = False):
+                        valid_hw=None, interpret: bool = False):
     """One group's selection + fused Pallas patch kernel (small jit)."""
     from hesaff_tpu.ops.pallas_patches import extract_group_pallas
 
@@ -297,7 +300,7 @@ def _group_select_stage(images, flat, cfg: HesaffConfig, bsize: int,
     pk, pok = extract_group_pallas(
         images, bsize, gi, a["x"], a["y"], a["s"],
         a["a11"], a["a21"], a["a22"], cfg, active=valid,
-        interpret=interpret,
+        true_hw=valid_hw, interpret=interpret,
     )
     return pk, pok, gi, a, valid, over
 
@@ -350,7 +353,8 @@ def tail_source_level(images, cfg: HesaffConfig, octave: int,
                                     "interpret"))
 def _tail_select_stage(images_src, flat, cfg: HesaffConfig, bsize: int,
                        bcap: int, prev: int, ncap: int, ps: float,
-                       bucket_src: int, orig_hw, interpret: bool = False):
+                       bucket_src: int, orig_hw, valid_hw=None,
+                       interpret: bool = False):
     """Tail group: select ws in (prev, bsize] and extract patches from a
     downsampled pyramid level via the scaled Pallas kernel."""
     from hesaff_tpu.ops.pallas_patches import extract_group_pallas_scaled
@@ -363,7 +367,7 @@ def _tail_select_stage(images_src, flat, cfg: HesaffConfig, bsize: int,
     pk, pok = extract_group_pallas_scaled(
         images_src, ps, bucket_src, gi, a["x"], a["y"], a["s"],
         a["a11"], a["a21"], a["a22"], cfg, active=valid,
-        orig_hw=orig_hw, interpret=interpret,
+        orig_hw=orig_hw, true_hw=valid_hw, interpret=interpret,
     )
     return pk, pok, gi, a, valid, over
 
@@ -371,7 +375,7 @@ def _tail_select_stage(images_src, flat, cfg: HesaffConfig, bsize: int,
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "dcap", "ncap"))
 def _direct_branch_stage(images, flat, cfg: HesaffConfig, dcap: int,
-                         ncap: int):
+                         ncap: int, valid_hw=None):
     """Direct-warp keypoints (its <= 0.4; affine.cpp:115,135)."""
     from hesaff_tpu.ops.batching import chunked_vmap
     from hesaff_tpu.ops.warp import check_borders
@@ -390,12 +394,19 @@ def _direct_branch_stage(images, flat, cfg: HesaffConfig, dcap: int,
     its_d = ((2 * jnp.ceil(a["s"] * cfg.mr_size).astype(jnp.int32) + 1)
              .astype(jnp.float32) / cfg.patch_size)
     H, W = images.shape[-2], images.shape[-1]
+    if valid_hw is None:
+        hk = jnp.full_like(gi, H)
+        wk = jnp.full_like(gi, W)
+    else:
+        vhw = jnp.asarray(valid_hw, jnp.int32)
+        hk = vhw[gi, 0]
+        wk = vhw[gi, 1]
     cbad = jax.vmap(
-        lambda itss, b11, b21, b22, xx, yy: check_borders(
-            H, W, cfg.patch_size, cfg.patch_size, xx, yy,
+        lambda hh, wwk, itss, b11, b21, b22, xx, yy: check_borders(
+            hh, wwk, cfg.patch_size, cfg.patch_size, xx, yy,
             b11 * itss, 0.0, b21 * itss, b22 * itss,
         )
-    )(its_d, a["a11"], a["a21"], a["a22"], a["x"], a["y"])
+    )(hk, wk, its_d, a["a11"], a["a21"], a["a22"], a["x"], a["y"])
     pk, touched = chunked_vmap(
         lambda ii, xx, yy, b11, b21, b22, itss: _direct_warp(
             images, ii, xx, yy, b11, b21, b22, itss, cfg.patch_size
@@ -421,6 +432,7 @@ def _grouped_overflow_tail(flat, cfg: HesaffConfig, last_bucket):
 
 def extraction_step_grouped(images, cfg: HesaffConfig,
                             groups: Sequence[tuple],
+                            valid_hw=None,
                             interpret: bool = False) -> DenseFeatures:
     """TPU fast path: phase A (fused-affine detection) + chained
     per-group fused-Pallas patch stages + masked SIFT.
@@ -428,10 +440,19 @@ def extraction_step_grouped(images, cfg: HesaffConfig,
     All stages chain device-resident (async dispatch, zero host syncs);
     each is a small, individually cached program — the one-giant-HLO
     variant took 30-60 min through the remote-compile tunnel.
+
+    valid_hw: optional (B, 2) int32 per-image TRUE dims when the batch
+    is edge-padded to a shape bucket (mixed-size fleets): detection
+    windows and patch boundary checks ride the true dims, matching the
+    batch.extract_batch padded-mode contract (near-edge windows may
+    sample replicated pad instead of out-of-image zeros — the same
+    documented tolerance).
     """
     from hesaff_tpu.patches import _min_workspace
 
-    flat, levels_a = _phase_a_flat(images, cfg)
+    if valid_hw is not None:
+        valid_hw = jnp.asarray(valid_hw, jnp.int32)
+    flat, levels_a = _phase_a_flat(images, cfg, valid_hw=valid_hw)
     ncap = flat["x"].shape[0] // images.shape[0]
 
     mixed = (_min_workspace(cfg)
@@ -447,7 +468,7 @@ def extraction_step_grouped(images, cfg: HesaffConfig,
             # fused Pallas patch kernel (window resident in VMEM)
             pk, pok, gi, a, valid, over = _group_select_stage(
                 images, flat, cfg, bsize, bcap, prev, ncap, mixed,
-                interpret=interpret)
+                valid_hw=valid_hw, interpret=interpret)
             pieces.append((pk, pok, gi, a, valid))
         elif cfg.tail_from_pyramid:
             # large patches warp from a downsampled sigma0-blurred
@@ -457,7 +478,8 @@ def extraction_step_grouped(images, cfg: HesaffConfig,
             src = tail_source_level(images, cfg, octave, levels_a, levels)
             pk, pok, gi, a, valid, over = _tail_select_stage(
                 src, flat, cfg, bsize, bcap, prev, ncap,
-                ps, bucket_src, (Ho, Wo), interpret=interpret)
+                ps, bucket_src, (Ho, Wo), valid_hw=valid_hw,
+                interpret=interpret)
             pieces.append((pk, pok, gi, a, valid))
         else:
             # reference-literal path: full-resolution XLA bucket stage
@@ -470,7 +492,7 @@ def extraction_step_grouped(images, cfg: HesaffConfig,
     if mixed:
         dcap = max(64, groups[0][1] // 4)
         pk, pok, gi, a, valid, over = _direct_branch_stage(
-            images, flat, cfg, dcap, ncap)
+            images, flat, cfg, dcap, ncap, valid_hw=valid_hw)
         pieces.append((pk, pok, gi, a, valid))
         overflow = overflow + over
 

@@ -595,7 +595,7 @@ def patches_pallas(images: jnp.ndarray, bucket: int, act, img_idx, rb, cb,
 
 def extract_group_pallas(images: jnp.ndarray, bucket: int, img_idx,
                          x, y, s, a11, a21, a22, cfg: HesaffConfig,
-                         active, interpret: bool = False):
+                         active, true_hw=None, interpret: bool = False):
     """XLA-side wrapper: per-keypoint parameters + corner check + kernel.
 
     Mirrors patches.extract_bucket_batch for the blur branch (the
@@ -618,12 +618,21 @@ def extract_group_pallas(images: jnp.ndarray, bucket: int, img_idx,
     its = S.astype(jnp.float32) / P
     ws = S + 2
 
+    # true_hw: (B, 2) per-image TRUE dims for the boundary pre-check
+    # (affine.cpp:112) when `images` is edge-padded to a shape bucket
+    if true_hw is None:
+        hk = jnp.full_like(img_idx, H)
+        wk = jnp.full_like(img_idx, W)
+    else:
+        vhw = jnp.asarray(true_hw, jnp.int32)
+        hk = vhw[img_idx, 0]
+        wk = vhw[img_idx, 1]
     corner_bad = jax.vmap(
-        lambda itss, b11, b21, b22, xx, yy: check_borders(
-            H, W, P, P, xx, yy,
+        lambda hh, wwk, itss, b11, b21, b22, xx, yy: check_borders(
+            hh, wwk, P, P, xx, yy,
             b11 * itss, 0.0, b21 * itss, b22 * itss,
         )
-    )(its, a11, a21, a22, x, y)
+    )(hk, wk, its, a11, a21, a22, x, y)
 
     sigma = cfg.patch_smooth_factor * its
     ksz = (2.0 * 3.0 * sigma + 1.0).astype(jnp.int32)
@@ -666,7 +675,8 @@ def extract_group_pallas(images: jnp.ndarray, bucket: int, img_idx,
 def extract_group_pallas_scaled(images_src: jnp.ndarray, ps: float,
                                 bucket: int, img_idx, x, y, s,
                                 a11, a21, a22, cfg: HesaffConfig,
-                                active, orig_hw, interpret: bool = False):
+                                active, orig_hw, true_hw=None,
+                                interpret: bool = False):
     """Patch pipeline for LARGE patches from a downsampled pyramid level.
 
     images_src: (B, H/ps, W/ps) first level of pyramid octave
@@ -702,13 +712,21 @@ def extract_group_pallas_scaled(images_src: jnp.ndarray, ps: float,
     ws_src = 2 * jnp.ceil(S.astype(jnp.float32) / (2.0 * ps)) \
         .astype(jnp.int32) + 3
 
-    # acceptance in ORIGINAL coordinates (affine.cpp:112 semantics)
+    # acceptance in ORIGINAL coordinates (affine.cpp:112 semantics);
+    # true_hw: per-image TRUE dims when padded (mixed-size fleets)
+    if true_hw is None:
+        hk = jnp.full_like(img_idx, Ho)
+        wk = jnp.full_like(img_idx, Wo)
+    else:
+        vhw = jnp.asarray(true_hw, jnp.int32)
+        hk = vhw[img_idx, 0]
+        wk = vhw[img_idx, 1]
     corner_bad = jax.vmap(
-        lambda itss, b11, b21, b22, xx, yy: check_borders(
-            Ho, Wo, P, P, xx, yy,
+        lambda hh, wwk, itss, b11, b21, b22, xx, yy: check_borders(
+            hh, wwk, P, P, xx, yy,
             b11 * itss, 0.0, b21 * itss, b22 * itss,
         )
-    )(its, a11, a21, a22, x, y)
+    )(hk, wk, its, a11, a21, a22, x, y)
 
     sigma0 = cfg.initial_sigma
     var = jnp.maximum(

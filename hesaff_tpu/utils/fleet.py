@@ -76,6 +76,54 @@ def pad_to_bucket(img: np.ndarray, multiple: int = 64):
     return np.pad(img, ((0, hp - h), (0, wp - w)), mode="edge"), (h, w)
 
 
+_GROUP_SPECS = {}
+
+
+def _extract_chunk(imgs: np.ndarray, hws: np.ndarray, cfg,
+                   per_image_cap: int = 1024):
+    """Extract a shape-homogeneous padded chunk -> list of Features.
+
+    On TPU the chunk rides the grouped fused-Pallas serving path
+    (dist.extraction_step_grouped with valid_hw) — the same path the
+    throughput bench measures; if its fixed capacities overflow for an
+    unusually dense chunk, falls back to the uncapped staged
+    batch.extract_batch so no keypoint is silently dropped.  On CPU the
+    staged path is used directly.
+    """
+    import jax
+
+    from hesaff_tpu.batch import extract_batch
+    from hesaff_tpu.pipeline import Features
+
+    B, H, W = imgs.shape
+    if jax.default_backend() == "tpu" and getattr(cfg, "use_pallas", True):
+        from hesaff_tpu.dist import default_group_spec, \
+            extraction_step_grouped
+
+        key = (H, W, B, per_image_cap)
+        groups = _GROUP_SPECS.get(key)
+        if groups is None:
+            groups = default_group_spec(H, W, cfg,
+                                        per_image_cap=per_image_cap,
+                                        batch=B)
+            _GROUP_SPECS[key] = groups
+        out = extraction_step_grouped(imgs, cfg, groups, valid_hw=hws)
+        if int(np.asarray(out.overflow)) == 0:
+            valid = np.asarray(out.valid)
+            gi = np.asarray(out.img_idx)
+            fields = {k: np.asarray(getattr(out, k)) for k in
+                      ("x", "y", "s", "a11", "a12", "a21", "a22",
+                       "response", "type", "desc")}
+            feats = []
+            for b in range(B):
+                m = valid & (gi == b)
+                feats.append(Features(**{k: fields[k][m]
+                                         for k in fields}))
+            return feats
+        # capacity overflow: correctness first — rerun uncapped
+    return extract_batch(imgs, cfg, valid_hw=hws)
+
+
 def extract_fleet(paths: Sequence[str], out_dir: str, cfg=None,
                   batch_size: int = 8,
                   loader: Callable[[str], np.ndarray] = _default_loader,
@@ -170,10 +218,10 @@ def extract_fleet(paths: Sequence[str], out_dir: str, cfg=None,
                     by_bucket.setdefault(im.shape, []).append((p, im, hw))
                 for group in by_bucket.values():
                     if len(group) > 1:
-                        feats = extract_batch(
-                            np.stack([im for _, im, _ in group]), cfg,
-                            valid_hw=np.asarray(
-                                [hw for _, _, hw in group], np.int32))
+                        feats = _extract_chunk(
+                            np.stack([im for _, im, _ in group]),
+                            np.asarray([hw for _, _, hw in group],
+                                       np.int32), cfg)
                         for (p, _, _), f in zip(group, feats):
                             write_one(p, f)
                             cursor["done"].append(p)

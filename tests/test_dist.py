@@ -254,3 +254,62 @@ def test_drop_host_detection_and_restart(tmp_path):
         q, db = dw.round_data(r, 2, per)
         want = np.asarray(knn2(jnp.asarray(q), jnp.asarray(db)).idx)
         assert np.array_equal(results[r].reshape(-1), want.reshape(-1)), r
+
+
+def test_grouped_padded_matches_unpadded():
+    """extraction_step_grouped with valid_hw on an edge-padded batch
+    reproduces the unpadded grouped run: identical keypoint sets
+    (detection windows + boundary checks ride the true dims) and
+    near-identical descriptors — keypoints whose patch workspace
+    samples the padded border may differ slightly (replicate-pad vs
+    out-of-image zeros, the documented padded-mode tolerance)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "golden"))
+    import gen_images
+
+    from hesaff_tpu.config import HesaffConfig
+    from hesaff_tpu.dist import default_group_spec, extraction_step_grouped
+    from hesaff_tpu.utils.fleet import pad_to_bucket
+
+    cfg = HesaffConfig()
+    B, H, W = 2, 150, 170          # not multiples of 64: padding engages
+    imgs = np.stack([
+        gen_images.synth_image(W, H, seed=s).astype(np.float32).mean(-1)
+        for s in range(B)
+    ])
+    groups_u = default_group_spec(H, W, cfg, per_image_cap=512, batch=B)
+    ref = extraction_step_grouped(jnp.asarray(imgs), cfg, groups_u,
+                                  interpret=True)
+    padded, hw = zip(*[pad_to_bucket(im) for im in imgs])
+    padded = np.stack(padded)
+    Hp, Wp = padded.shape[-2:]
+    groups_p = default_group_spec(Hp, Wp, cfg, per_image_cap=512, batch=B)
+    out = extraction_step_grouped(
+        jnp.asarray(padded), cfg, groups_p,
+        valid_hw=np.asarray(hw, np.int32), interpret=True)
+
+    rv = np.asarray(ref.valid)
+    ov = np.asarray(out.valid)
+    assert rv.sum() == ov.sum()
+    assert int(ref.overflow) == int(out.overflow) == 0
+
+    def keyed(d, v):
+        return {
+            (int(i), round(float(x), 3), round(float(y), 3),
+             round(float(s), 3)): n
+            for n, (i, x, y, s) in enumerate(zip(
+                np.asarray(d.img_idx)[v], np.asarray(d.x)[v],
+                np.asarray(d.y)[v], np.asarray(d.s)[v]))
+        }
+
+    rk = keyed(ref, rv)
+    gk = keyed(out, ov)
+    assert set(rk) == set(gk)
+    rd = np.asarray(ref.desc)[rv].astype(int)
+    od = np.asarray(out.desc)[ov].astype(int)
+    diffs = np.array([np.abs(rd[rk[k]] - od[gk[k]]).max() for k in rk])
+    assert (diffs <= 2).mean() >= 0.95
+    assert diffs.mean() <= 0.3
