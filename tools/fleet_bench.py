@@ -85,9 +85,11 @@ def main():
     t_decode = time.perf_counter() - t0
 
     # warm-up batch per shape bucket so the fleet loop measures steady
-    # state, not compile (compile cost is reported separately)
-    from hesaff_tpu.batch import extract_batch
+    # state, not compile (compile cost is reported separately) — warms
+    # the SAME path the fleet routes through (_extract_chunk: grouped
+    # fused-Pallas on TPU, staged on CPU)
     from hesaff_tpu.config import HesaffConfig
+    from hesaff_tpu.utils.fleet import _extract_chunk
 
     cfg = HesaffConfig()
     t0 = time.perf_counter()
@@ -96,10 +98,9 @@ def main():
                .astype(np.float32).mean(axis=-1))
         pad, hw = pad_to_bucket(img)
         batch = np.broadcast_to(pad, (args.batch,) + pad.shape).copy()
-        out = extract_batch(batch, cfg,
-                            valid_hw=np.asarray([hw] * args.batch,
-                                                np.int32))
-        jax.block_until_ready(out[0].x)
+        feats = _extract_chunk(
+            batch, np.asarray([hw] * args.batch, np.int32), cfg)
+        np.asarray(feats[0].x)
     t_compile = time.perf_counter() - t0
 
     t0 = time.perf_counter()

@@ -77,6 +77,14 @@ def main():
         return (gen_images.synth_image(W, H, seed=int(i))
                 .astype(np.float32).mean(axis=-1))
 
+    # warm the extraction executable so t_extract measures steady state
+    # (compile cost reported separately; see PERF.md compile budget)
+    t0 = time.perf_counter()
+    warm = step(jnp.asarray(np.stack(
+        [corpus_image(i) for i in range(B)])))
+    np.asarray(warm.desc)
+    t_compile = time.perf_counter() - t0
+
     # --- extraction over the corpus, pipelined 2 batches in flight ---
     descs, owners = [], []
     t0 = time.perf_counter()
@@ -102,8 +110,11 @@ def main():
         n_desc += int(valid.sum())
     t_extract = time.perf_counter() - t0
 
+    # device-resident database: jnp.asarray inside query_votes is then
+    # a no-op, so queries stop re-uploading the ~60 MB index through
+    # the tunnel every call
     index = DescriptorIndex(
-        desc=np.concatenate(descs).astype(np.float32),
+        desc=jnp.asarray(np.concatenate(descs).astype(np.float32)),
         image_id=np.concatenate(owners).astype(np.int32),
         n_images=n,
     )
@@ -131,7 +142,15 @@ def main():
         out = step(jnp.asarray(np.broadcast_to(
             warped, (B, H, W)).copy()))
         valid = np.asarray(out.valid) & (np.asarray(out.img_idx) == 0)
-        qdesc = np.asarray(out.desc)[valid]
+        qdesc = np.asarray(out.desc)[valid].astype(np.float32)
+        # pad the query to a fixed shape bucket so the kNN executable
+        # is built once, not per distinct descriptor count; +1e6
+        # sentinel rows have d1 ~ d2, so the Lowe ratio test rejects
+        # them and they contribute no votes
+        qpad = (-len(qdesc)) % 256
+        if qpad:
+            qdesc = np.concatenate(
+                [qdesc, np.full((qpad, 128), 1e6, np.float32)])
         ranked = rank_images(index, qdesc, top_k=5)
         if ranked and ranked[0][0] == qi:
             hits += 1
@@ -145,6 +164,7 @@ def main():
         "extract_desc_per_s": round(n_desc / t_extract, 1),
         "query_latency_s": round(t_query, 3),
         "top1_accuracy": round(hits / max(1, args.queries), 3),
+        "compile_s": round(t_compile, 1),
         "platform": jax.devices()[0].platform,
     }))
 
