@@ -93,7 +93,14 @@ def _make_kernel(taps: tuple, norm2: float):
 
 
 def fits_vmem(height: int, width: int) -> bool:
-    return 3 * height * width * 4 <= _VMEM_BYTES
+    """Whole-level blur_doh fits the 16 MB scoped VMEM.
+
+    Mosaic's lowering holds ~12.7 live (H, W) f32 values through the
+    unrolled shift-add chains (measured: 16.57 MB scoped allocation at
+    512x640 — the round-4 fleet bench OOM'd exactly there with the old
+    3-array proxy).  Budget 13 live arrays against a 15.75 MB limit so
+    near-threshold shapes route to the tiled kernel."""
+    return 13 * height * width * 4 <= (63 << 18)
 
 
 def _make_tiled_kernel(taps: tuple, norm2: float, TB: int, HALO: int,

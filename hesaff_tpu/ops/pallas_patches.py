@@ -139,7 +139,15 @@ def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
     R = _ROWS
     bucketR = _round_up(bucket, R)
 
-    batched_blur = _BLUR_BATCH and KB > 1 and _PROFILE != "noblur"
+    # batched blur only for the dense small-bucket groups: at large
+    # bucket/KMAX the KMAX live lane-packed tap rows are Mosaic STACK
+    # temporaries on top of the declared scratch — the 641-tail
+    # (bucket_src 321, KMAX 71) measured a 16.82 MB scoped allocation
+    # against the 16 MB limit.  Buckets <= 200 hold ~95% of keypoint
+    # slots, so the tails keep the per-keypoint blur at no measurable
+    # cost.
+    batched_blur = (_BLUR_BATCH and KB > 1 and bucket <= 200
+                    and _PROFILE != "noblur")
 
     def kernel(*refs):
         (act_ref, rb_ref, cb_ref, img_ref, ws_ref,
@@ -491,7 +499,8 @@ def patches_pallas(images: jnp.ndarray, bucket: int, act, img_idx, rb, cb,
         # mirrors _make_kernel's own batched-blur decision for this kb
         # (KB can shrink in the env-override halving loop below)
         kb = KB if kb is None else kb
-        batched_blur = _BLUR_BATCH and kb > 1 and _PROFILE != "noblur"
+        batched_blur = (_BLUR_BATCH and kb > 1 and bucket <= 200
+                        and _PROFILE != "noblur")
         base = [
             pltpu.VMEM(((2, kb, WY, WX) if pipe else (kb, WY, WX)),
                        jnp.float32),                          # win
