@@ -53,13 +53,14 @@ _DMA_PIPE = os.environ.get("HESAFF_PATCH_DMA_PIPE", "1") == "1"
 # timing differences attribute the kernel's internal stages.
 _PROFILE = os.environ.get("HESAFF_PATCH_PROFILE", "")
 
-# lane-pack the anti-alias blur across the KB keypoints of a grid step:
-# one set of KMAX shifted multiply-adds on (bucket, KB*width) arrays
-# instead of KB sequential sets on (bucket, bucket) — same f32 ops per
-# element in the same order (bit-identical), ~KB x fewer VPU op issues
-# for the stage the round-3 profile attributed ~45 ms ("noblur" cut).
-# Env-gated pending its on-chip A/B (round-4 sweep).
-_BLUR_BATCH = os.environ.get("HESAFF_PATCH_BLUR_BATCH", "0") == "1"
+# (A lane-packed batched blur — one set of KMAX shifted multiply-adds
+# on (bucket, KB*width) arrays instead of KB per-keypoint sets — was
+# bit-identical in interpret mode but measured 22% SLOWER end-to-end on
+# chip (40.7k vs 52.1k desc/s, round-4 A/B): per-keypoint (49, 49) ops
+# sit lane-aligned at offset 0 and cost ~7 vregs each, while the packed
+# layout's 49-lane block offsets forced masked read-modify-write fixups
+# on every store/slice.  Lane packing only pays when ops underfill one
+# vreg.  Deleted per the sweep record in PERF.md.)
 
 
 def group_geometry(bucket: int, height: int, width: int,
@@ -139,16 +140,6 @@ def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
     R = _ROWS
     bucketR = _round_up(bucket, R)
 
-    # batched blur only for the dense small-bucket groups: at large
-    # bucket/KMAX the KMAX live lane-packed tap rows are Mosaic STACK
-    # temporaries on top of the declared scratch — the 641-tail
-    # (bucket_src 321, KMAX 71) measured a 16.82 MB scoped allocation
-    # against the 16 MB limit.  Buckets <= 200 hold ~95% of keypoint
-    # slots, so the tails keep the per-keypoint blur at no measurable
-    # cost.
-    batched_blur = (_BLUR_BATCH and KB > 1 and bucket <= 200
-                    and _PROFILE != "noblur")
-
     def kernel(*refs):
         (act_ref, rb_ref, cb_ref, img_ref, ws_ref,
          x_ref, y_ref, a11_ref, a21_ref, a22_ref, its_ref, taps_ref,
@@ -158,17 +149,9 @@ def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
             # (+1-shifted views, ordered like dma_plumbing's contract)
             imgn, rbn, cbn, actn = rest[:4]
             next_scalars, rest = (imgn, rbn, cbn, actn), rest[4:]
-        if batched_blur:
-            (images_ref, patch_ref, bad_ref,
-             win, wsbuf, ysbuf, vxbuf, rowacc, badacc, blurv,
-             padv2, vacc, padh2, hacc, sems) = rest
-            blur_scr = (padv2, vacc, padh2, hacc)
-            padv = padh = None
-        else:
-            (images_ref, patch_ref, bad_ref,
-             win, wsbuf, ysbuf, vxbuf, rowacc, badacc, padv, blurv,
-             padh, sems) = rest
-            blur_scr = None
+        (images_ref, patch_ref, bad_ref,
+         win, wsbuf, ysbuf, vxbuf, rowacc, badacc, padv, blurv,
+         padh, sems) = rest
         start_cur, start_nxt, wait_cur, window_of = _dma_plumbing(
             images_ref, win, sems, WY, WX, pipe, KB, next_scalars)
 
@@ -351,54 +334,7 @@ def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
                     0, bucket, row_full, jnp.int32(0)),
             )
 
-        # ---- anti-alias blur ----
-        batched = batched_blur
-        stride = bucket + KMAX - 1
-        if batched:
-            # lane-packed across KB: per-lane tap rows Mv/Mh replace the
-            # per-keypoint scalar taps (Mv[t, kb*bucket + q] =
-            # taps[kb, t]); accumulation order over t is IDENTICAL to
-            # the per-keypoint path, so results are bit-equal.
-            (padv2, vacc, padh2, hacc) = blur_scr
-            KBb = KB * bucket
-            mv_rows = []
-            mh_rows = []
-            for t in range(KMAX):
-                mv_rows.append(jnp.concatenate(
-                    [jnp.full((1, bucket), taps_ref[0, kb, t])
-                     for kb in range(KB)], axis=1))
-                mh_rows.append(jnp.concatenate(
-                    [jnp.full((1, stride), taps_ref[0, kb, t])
-                     for kb in range(KB)], axis=1))
-            for kb in range(KB):
-                c0 = kb * bucket
-                padv2[0:r_blur, c0:c0 + bucket] = jnp.broadcast_to(
-                    wsbuf[kb, 0:1, :], (r_blur, bucket))
-                padv2[r_blur:r_blur + bucket, c0:c0 + bucket] = \
-                    wsbuf[kb, 0:bucket, :]
-                padv2[r_blur + bucket:, c0:c0 + bucket] = \
-                    jnp.broadcast_to(wsbuf[kb, bucket - 1:bucket, :],
-                                     (r_blur, bucket))
-            vacc[:] = mv_rows[0] * padv2[0:bucket, :]
-            for t in range(1, KMAX):
-                vacc[:] += mv_rows[t] * padv2[t:t + bucket, :]
-            for kb in range(KB):
-                c0 = kb * bucket
-                h0 = kb * stride
-                padh2[:, h0:h0 + r_blur] = jnp.broadcast_to(
-                    vacc[:, c0:c0 + 1], (bucket, r_blur))
-                padh2[:, h0 + r_blur:h0 + r_blur + bucket] = \
-                    vacc[:, c0:c0 + bucket]
-                padh2[:, h0 + r_blur + bucket:h0 + stride] = \
-                    jnp.broadcast_to(vacc[:, c0 + bucket - 1:c0 + bucket],
-                                     (bucket, r_blur))
-            padh2[:, KB * stride:] = jnp.zeros(
-                (bucket, KMAX - 1), jnp.float32)
-            hacc[:] = mh_rows[0] * padh2[:, 0:KB * stride]
-            for t in range(1, KMAX):
-                hacc[:] += mh_rows[t] * padh2[:, t:t + KB * stride]
-
-        # ---- per-keypoint (blur +) subsample ----
+        # ---- per-keypoint separable blur + subsample ----
         for kb in range(KB):
             @pl.when(act_ref[0, 0, kb] != 0)
             def _():
@@ -408,9 +344,7 @@ def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
                 # blur accumulates through scratch refs with STATIC
                 # slices (an unrolled KMAX-term value chain makes Mosaic
                 # materialize every term — 64 MB at bucket 385)
-                if batched:
-                    blurv[:] = hacc[:, kb * stride:kb * stride + bucket]
-                elif _PROFILE == "noblur":
+                if _PROFILE == "noblur":
                     blurv[:] = wsbuf[kb, 0:bucket, :]   # profiling cut
                 else:
                     padv[0:r_blur, :] = jnp.broadcast_to(
@@ -496,11 +430,7 @@ def patches_pallas(images: jnp.ndarray, bucket: int, act, img_idx, rb, cb,
     stride = bucket + KMAX - 1
 
     def scratch_for(pipe: bool, kb: int = None):
-        # mirrors _make_kernel's own batched-blur decision for this kb
-        # (KB can shrink in the env-override halving loop below)
         kb = KB if kb is None else kb
-        batched_blur = (_BLUR_BATCH and kb > 1 and bucket <= 200
-                        and _PROFILE != "noblur")
         base = [
             pltpu.VMEM(((2, kb, WY, WX) if pipe else (kb, WY, WX)),
                        jnp.float32),                          # win
@@ -511,15 +441,6 @@ def patches_pallas(images: jnp.ndarray, bucket: int, act, img_idx, rb, cb,
             pltpu.VMEM((kb, 1, bucket), jnp.float32),         # rowacc
             pltpu.VMEM((kb, 1, bucket), jnp.float32),         # badacc
         ]
-        if batched_blur:
-            return base + [
-                pltpu.VMEM((bucket, bucket), jnp.float32),    # blurv
-                pltpu.VMEM((stride, kb * bucket), jnp.float32),  # padv2
-                pltpu.VMEM((bucket, kb * bucket), jnp.float32),  # vacc
-                pltpu.VMEM((bucket, kb * stride + KMAX - 1),
-                           jnp.float32),                      # padh2
-                pltpu.VMEM((bucket, kb * stride), jnp.float32),  # hacc
-            ]
         return base + [
             pltpu.VMEM((stride, bucket), jnp.float32),        # padv
             pltpu.VMEM((bucket, bucket), jnp.float32),        # blurv

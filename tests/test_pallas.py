@@ -456,48 +456,3 @@ def test_detect_maps_pallas_matches_xla(request):
     for i in (1, 2, 3):   # x, y, s of accepted keypoints
         np.testing.assert_allclose(outs_p[i][both], outs_x[i][both],
                                    rtol=1e-3, atol=1e-3)
-
-
-
-
-def test_pallas_patches_batched_blur_bit_identical():
-    """HESAFF_PATCH_BLUR_BATCH lane-packs the anti-alias blur across the
-    KB keypoints of a grid step; same f32 ops in the same order, so the
-    patches must be BIT-identical to the per-keypoint blur path."""
-    import jax
-
-    import hesaff_tpu.ops.pallas_patches as pp
-    from hesaff_tpu.config import HesaffConfig
-    from hesaff_tpu.ops.pallas_patches import extract_group_pallas
-
-    cfg = HesaffConfig()
-    rng = np.random.default_rng(3)
-    B, H, W = 2, 240, 320
-    img = _smooth_stacks(rng, 1, B, H, W)[0]
-    images = jnp.asarray(img)
-    bucket, K = 49, 32
-    img_idx = jnp.asarray(rng.integers(0, B, K), jnp.int32)
-    x = jnp.asarray(rng.uniform(40, W - 40, K), jnp.float32)
-    y = jnp.asarray(rng.uniform(40, H - 40, K), jnp.float32)
-    s = jnp.asarray(rng.uniform(1.6, 4.2, K), jnp.float32)
-    a21 = jnp.asarray(rng.normal(0, 0.2, K), jnp.float32)
-    d = jnp.asarray(np.exp(rng.normal(0, 0.15, K)), jnp.float32)
-    active = jnp.asarray(rng.uniform(size=K) > 0.2)
-
-    args = (images, bucket, img_idx, x, y, s, d, a21, 1.0 / d, cfg)
-    pk_ref, ok_ref = extract_group_pallas(*args, active=active,
-                                          interpret=True)
-    old = pp._BLUR_BATCH
-    pp._BLUR_BATCH = True
-    jax.clear_caches()
-    try:
-        pk, ok = extract_group_pallas(*args, active=active,
-                                      interpret=True)
-    finally:
-        pp._BLUR_BATCH = old
-        jax.clear_caches()
-    np.testing.assert_array_equal(np.asarray(ok_ref), np.asarray(ok))
-    m = np.asarray(ok_ref)
-    assert m.sum() >= 10
-    np.testing.assert_array_equal(np.asarray(pk_ref)[m],
-                                  np.asarray(pk)[m])
