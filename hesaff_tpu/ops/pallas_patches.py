@@ -53,6 +53,13 @@ _DMA_PIPE = os.environ.get("HESAFF_PATCH_DMA_PIPE", "1") == "1"
 # timing differences attribute the kernel's internal stages.
 _PROFILE = os.environ.get("HESAFF_PATCH_PROFILE", "")
 
+# add a TIGHTER first band tier (~24 rows) to the y-pass cascade: the
+# Ey hat construction over (KB, LYB, bucket) is the y-pass's vector
+# hog and scales linearly with the band side; shear-sorted blocks
+# whose span fits the tight band skip ~40% of it.  Env-gated pending
+# the round-4 on-chip A/B.
+_BAND2 = os.environ.get("HESAFF_PATCH_BAND2", "0") == "1"
+
 # (A lane-packed batched blur — one set of KMAX shifted multiply-adds
 # on (bucket, KB*width) arrays instead of KB per-keypoint sets — was
 # bit-identical in interpret mode but measured 22% SLOWER end-to-end on
@@ -295,16 +302,13 @@ def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
             badacc[:] = jnp.maximum(badacc[:], 1.0 - validyf * vxf)
             return carry
 
-        # all-keypoints narrow/fast/full decision on the scalar core
-        narrow_ok = jnp.bool_(True)
-        fast_ok = jnp.bool_(True)
-        for kb in range(KB):
-            wsm1k = jnp.float32(ws_ref[0, 0, kb] - 1)
-            spank = (jnp.abs(a21_ref[0, 0, kb]) * wsm1k
-                     + jnp.float32(R - 1) * a22_ref[0, 0, kb] + 4.0)
-            inactive = act_ref[0, 0, kb] == 0
-            narrow_ok = narrow_ok & ((spank <= LYN - 10) | inactive)
-            fast_ok = fast_ok & ((spank <= LY - 10) | inactive)
+        # band-tier cascade: pick the tightest band whose side covers
+        # every keypoint's per-R-row-block sample span (scalar-core
+        # decision per tier); fall back to the full-WY loop otherwise
+        tiers = [LYN, LY]
+        if _BAND2:
+            tiers.insert(0, min(LY, _round_up(max(24, bucket // 8), 8)))
+        tiers = sorted({t for t in tiers if t <= LY})
         nR = bucketR // R
         if _PROFILE == "xonly":
             # profiling cut: only the DMA + x-pass ran; emit dummies
@@ -312,27 +316,29 @@ def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
                 patch_ref[kb] = jnp.zeros((P, P), jnp.float32)
                 bad_ref[0, 0, kb] = 1
             return
-        if LYN < LY:
-            jax.lax.cond(
-                narrow_ok,
+        oks = []
+        for size in tiers:
+            ok = jnp.bool_(True)
+            for kb in range(KB):
+                wsm1k = jnp.float32(ws_ref[0, 0, kb] - 1)
+                spank = (jnp.abs(a21_ref[0, 0, kb]) * wsm1k
+                         + jnp.float32(R - 1) * a22_ref[0, 0, kb] + 4.0)
+                inactive = act_ref[0, 0, kb] == 0
+                ok = ok & ((spank <= size - 10) | inactive)
+            oks.append(ok)
+
+        def cascade(i):
+            if i == len(tiers):
+                return lambda: jax.lax.fori_loop(
+                    0, bucket, row_full, jnp.int32(0))
+            return lambda: jax.lax.cond(
+                oks[i],
                 lambda: jax.lax.fori_loop(
-                    0, nR, make_row_fast(LYN), jnp.int32(0)),
-                lambda: jax.lax.cond(
-                    fast_ok,
-                    lambda: jax.lax.fori_loop(
-                        0, nR, make_row_fast(LY), jnp.int32(0)),
-                    lambda: jax.lax.fori_loop(
-                        0, bucket, row_full, jnp.int32(0)),
-                ),
+                    0, nR, make_row_fast(tiers[i]), jnp.int32(0)),
+                cascade(i + 1),
             )
-        else:
-            jax.lax.cond(
-                fast_ok,
-                lambda: jax.lax.fori_loop(
-                    0, nR, make_row_fast(LY), jnp.int32(0)),
-                lambda: jax.lax.fori_loop(
-                    0, bucket, row_full, jnp.int32(0)),
-            )
+
+        cascade(0)()
 
         # ---- per-keypoint separable blur + subsample ----
         for kb in range(KB):
