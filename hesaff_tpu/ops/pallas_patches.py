@@ -53,12 +53,11 @@ _DMA_PIPE = os.environ.get("HESAFF_PATCH_DMA_PIPE", "1") == "1"
 # timing differences attribute the kernel's internal stages.
 _PROFILE = os.environ.get("HESAFF_PATCH_PROFILE", "")
 
-# add a TIGHTER first band tier (~24 rows) to the y-pass cascade: the
-# Ey hat construction over (KB, LYB, bucket) is the y-pass's vector
-# hog and scales linearly with the band side; shear-sorted blocks
-# whose span fits the tight band skip ~40% of it.  Env-gated pending
-# the round-4 on-chip A/B.
-_BAND2 = os.environ.get("HESAFF_PATCH_BAND2", "0") == "1"
+# (A tighter ~24-row first band tier for the y-pass cascade was A/B'd
+# on chip in round 4 and LOST — 40-45k vs 52.1k desc/s with per-group
+# stage times UNCHANGED: the extra nested cond + third loop instance
+# cost more than the narrower Ey construction saved.  Deleted; the
+# cascade below keeps its two measured tiers.)
 
 # (A lane-packed batched blur — one set of KMAX shifted multiply-adds
 # on (bucket, KB*width) arrays instead of KB per-keypoint sets — was
@@ -305,10 +304,7 @@ def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
         # band-tier cascade: pick the tightest band whose side covers
         # every keypoint's per-R-row-block sample span (scalar-core
         # decision per tier); fall back to the full-WY loop otherwise
-        tiers = [LYN, LY]
-        if _BAND2:
-            tiers.insert(0, min(LY, _round_up(max(24, bucket // 8), 8)))
-        tiers = sorted({t for t in tiers if t <= LY})
+        tiers = sorted({t for t in (LYN, LY) if t <= LY})
         nR = bucketR // R
         if _PROFILE == "xonly":
             # profiling cut: only the DMA + x-pass ran; emit dummies
