@@ -79,21 +79,21 @@ def pad_to_bucket(img: np.ndarray, multiple: int = 64):
 _GROUP_SPECS = {}
 
 
-def _extract_chunk(imgs: np.ndarray, hws: np.ndarray, cfg,
-                   per_image_cap: int = 1024):
-    """Extract a shape-homogeneous padded chunk -> list of Features.
+def _submit_chunk(imgs: np.ndarray, hws: np.ndarray, cfg,
+                  per_image_cap: int = 1024):
+    """Dispatch extraction for a shape-homogeneous padded chunk.
 
     On TPU the chunk rides the grouped fused-Pallas serving path
     (dist.extraction_step_grouped with valid_hw) — the same path the
-    throughput bench measures; if its fixed capacities overflow for an
-    unusually dense chunk, falls back to the uncapped staged
-    batch.extract_batch so no keypoint is silently dropped.  On CPU the
-    staged path is used directly.
+    throughput bench measures — and returns WITHOUT synchronizing, so
+    the caller can keep a chunk in flight while draining the previous
+    one (each host sync costs ~10 tunnel round-trips).  On CPU the
+    staged path runs synchronously.  Returns an opaque token for
+    _drain_chunk.
     """
     import jax
 
     from hesaff_tpu.batch import extract_batch
-    from hesaff_tpu.pipeline import Features
 
     B, H, W = imgs.shape
     if jax.default_backend() == "tpu" and getattr(cfg, "use_pallas", True):
@@ -108,20 +108,41 @@ def _extract_chunk(imgs: np.ndarray, hws: np.ndarray, cfg,
                                         batch=B)
             _GROUP_SPECS[key] = groups
         out = extraction_step_grouped(imgs, cfg, groups, valid_hw=hws)
-        if int(np.asarray(out.overflow)) == 0:
-            valid = np.asarray(out.valid)
-            gi = np.asarray(out.img_idx)
-            fields = {k: np.asarray(getattr(out, k)) for k in
-                      ("x", "y", "s", "a11", "a12", "a21", "a22",
-                       "response", "type", "desc")}
-            feats = []
-            for b in range(B):
-                m = valid & (gi == b)
-                feats.append(Features(**{k: fields[k][m]
-                                         for k in fields}))
-            return feats
-        # capacity overflow: correctness first — rerun uncapped
+        return ("grouped", out, imgs, hws, B)
+    return ("staged", extract_batch(imgs, cfg, valid_hw=hws))
+
+
+def _drain_chunk(token, cfg):
+    """Synchronize a _submit_chunk token -> list of Features.
+
+    A grouped chunk whose fixed capacities overflowed reruns through
+    the uncapped staged batch.extract_batch (correctness first — no
+    keypoint is silently dropped)."""
+    from hesaff_tpu.batch import extract_batch
+    from hesaff_tpu.pipeline import Features
+
+    if token[0] == "staged":
+        return token[1]
+    _, out, imgs, hws, B = token
+    if int(np.asarray(out.overflow)) == 0:
+        valid = np.asarray(out.valid)
+        gi = np.asarray(out.img_idx)
+        fields = {k: np.asarray(getattr(out, k)) for k in
+                  ("x", "y", "s", "a11", "a12", "a21", "a22",
+                   "response", "type", "desc")}
+        feats = []
+        for b in range(B):
+            m = valid & (gi == b)
+            feats.append(Features(**{k: fields[k][m] for k in fields}))
+        return feats
     return extract_batch(imgs, cfg, valid_hw=hws)
+
+
+def _extract_chunk(imgs: np.ndarray, hws: np.ndarray, cfg,
+                   per_image_cap: int = 1024):
+    """Synchronous submit+drain (single-chunk callers, warm-up)."""
+    return _drain_chunk(_submit_chunk(imgs, hws, cfg, per_image_cap),
+                        cfg)
 
 
 def extract_fleet(paths: Sequence[str], out_dir: str, cfg=None,
@@ -212,12 +233,60 @@ def extract_fleet(paths: Sequence[str], out_dir: str, cfg=None,
     import concurrent.futures as _fut
 
     writer = _fut.ThreadPoolExecutor(max_workers=1)
+
+    def drain(rec):
+        """Synchronize one submitted chunk: convert, write, checkpoint.
+
+        npz writes ride the background writer thread so disk IO
+        overlaps the next chunk's device work; completion is awaited
+        before save_cursor marks the chunk done (crash consistency).
+        Failures fall back to per-image retries so one bad image
+        cannot take down the chunk."""
+        writes = []
+        try:
+            for unit in rec["units"]:
+                if unit[0] == "tok":
+                    _, paths_u, tok = unit
+                    feats = _drain_chunk(tok, cfg)
+                    for p, f in zip(paths_u, feats):
+                        writes.append((p, writer.submit(write_one, p, f)))
+                else:
+                    _, p, im, hw = unit
+                    run_one(p, im, hw)
+                    cursor["done"].append(p)
+            for p, fut in writes:
+                fut.result()
+                cursor["done"].append(p)
+        except Exception:
+            for p, fut in writes:
+                try:
+                    fut.result()
+                    if p not in cursor["done"]:
+                        cursor["done"].append(p)
+                except Exception:
+                    pass
+            # isolate: retry each image alone; only the bad one fails
+            for p in rec["chunk"]:
+                if p in cursor["done"] or p in cursor["failed"]:
+                    continue
+                try:
+                    run_one(p)
+                    cursor["done"].append(p)
+                except Exception as e:  # noqa: BLE001 — keep job alive
+                    cursor["failed"][p] = "".join(
+                        traceback.format_exception_only(type(e), e)
+                    ).strip()
+                    log(f"extract_fleet: FAILED {p}: "
+                        f"{cursor['failed'][p]}")
+        save_cursor()
+
+    inflight = None
     try:
         i = 0
         while i < len(pending):
             chunk = pending[i:i + batch_size]
             i += batch_size
-            writes = []
+            units = []
             try:
                 imgs = [load_padded(p) for p in chunk]
                 by_bucket = {}
@@ -225,33 +294,22 @@ def extract_fleet(paths: Sequence[str], out_dir: str, cfg=None,
                     by_bucket.setdefault(im.shape, []).append((p, im, hw))
                 for group in by_bucket.values():
                     if len(group) > 1:
-                        feats = _extract_chunk(
+                        # async dispatch: the chunk stays IN FLIGHT
+                        # while the previous one drains below — the
+                        # device computes through the host's convert/
+                        # write/checkpoint work (each drain costs ~10
+                        # tunnel round-trips otherwise spent idle)
+                        tok = _submit_chunk(
                             np.stack([im for _, im, _ in group]),
                             np.asarray([hw for _, _, hw in group],
                                        np.int32), cfg)
-                        # npz writes ride a background thread so disk
-                        # IO overlaps the next chunk's device work;
-                        # completion is awaited before save_cursor
-                        # marks the chunk done (crash consistency)
-                        for (p, _, _), f in zip(group, feats):
-                            writes.append((p, writer.submit(
-                                write_one, p, f)))
+                        units.append(
+                            ("tok", [p for p, _, _ in group], tok))
                     else:
-                        p, im, hw = group[0]
-                        run_one(p, im, hw)
-                        cursor["done"].append(p)
-                for p, fut in writes:
-                    fut.result()
-                    cursor["done"].append(p)
+                        units.append(("one",) + group[0])
             except Exception:
-                for p, fut in writes:
-                    try:
-                        fut.result()
-                        if p not in cursor["done"]:
-                            cursor["done"].append(p)
-                    except Exception:
-                        pass
-                # isolate: retry each image alone; only the bad one fails
+                # load/submit failure: isolate per image immediately
+                units = []
                 for p in chunk:
                     prefetched.pop(p, None)
                     if p in cursor["done"]:
@@ -259,12 +317,13 @@ def extract_fleet(paths: Sequence[str], out_dir: str, cfg=None,
                     try:
                         run_one(p)
                         cursor["done"].append(p)
-                    except Exception as e:  # noqa: BLE001 — keep job alive
+                    except Exception as e:  # noqa: BLE001
                         cursor["failed"][p] = "".join(
                             traceback.format_exception_only(type(e), e)
                         ).strip()
                         log(f"extract_fleet: FAILED {p}: "
                             f"{cursor['failed'][p]}")
+                save_cursor()
             # realign the stream to the chunk boundary: a mid-chunk
             # exception can leave undelivered paths in flight; draining
             # here keeps later chunks prefetched and frees their slots
@@ -275,7 +334,11 @@ def extract_fleet(paths: Sequence[str], out_dir: str, cfg=None,
                 except StopIteration:
                     pass
             prefetched.clear()
-            save_cursor()
+            if inflight is not None:
+                drain(inflight)
+            inflight = {"chunk": chunk, "units": units} if units else None
+        if inflight is not None:
+            drain(inflight)
     finally:
         writer.shutdown(wait=True)
         if stream is not None:
