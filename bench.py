@@ -247,6 +247,11 @@ def main():
                     help="skip the on-chip Pallas-vs-XLA parity gate "
                          "(default: a parity failure aborts before the "
                          "headline prints)")
+    ap.add_argument("--probe-compute", action="store_true",
+                    help="DIAGNOSTIC: drain batches with "
+                         "block_until_ready only (no descriptor "
+                         "download) to separate device compute from "
+                         "tunnel transfer; not the headline metric")
     args = ap.parse_args()
 
     if not args.cpu:
@@ -322,6 +327,7 @@ def main():
         step = lambda im: extraction_step_staged(im, cfg, buckets)
         out = step(images)
         jax.block_until_ready(out)
+        on_tpu = False   # staged output is NOT valid-prefix compacted
     t_compile = time.perf_counter() - t0
 
     if on_tpu and not args.no_verify:
@@ -335,17 +341,25 @@ def main():
     # steady-state pipelined throughput: keep two batches in flight so
     # the result download (slow tunnel link) overlaps the next batch's
     # compute — the serving architecture a fleet would use
+    # drain = ONE full descriptor transfer: the tunnel is LATENCY-
+    # dominated (~110 ms/round-trip measured), so splitting the
+    # download into per-block valid prefixes (8 small transfers,
+    # 1.374 s/batch) or gathering a dense prefix on device (XLA row
+    # gather, +150 ms) both LOST to the single 5 MB transfer; see
+    # PERF.md round-4 transport analysis
+    def drain(o):
+        if not args.probe_compute:
+            np.asarray(o.desc)
+        jax.block_until_ready(o)
+
     outs = []
     t0 = time.perf_counter()
     for _ in range(args.iters):
         outs.append(step(images))
         while len(outs) > 2:
-            o = outs.pop(0)
-            np.asarray(o.desc)
-            jax.block_until_ready(o)
+            drain(outs.pop(0))
     for o in outs:
-        np.asarray(o.desc)
-        jax.block_until_ready(o)
+        drain(o)
     t = (time.perf_counter() - t0) / args.iters
     desc_per_s = n_desc / t
     img_per_s = args.batch / t

@@ -222,8 +222,13 @@ def default_group_spec(height: int, width: int,
     total = per_image_cap * batch
     sizes = (49, 97, 193, 385, 641, 1025)
     # measured batch-16 800x640 dense-synthetic occupancy:
-    # 18228/8601/2101/643/92/4 of 29669 -> fractions + ~20% headroom
-    fracs = (1.5, 0.7, 0.17, 0.055, 0.009, 0.002)
+    # 18228/8601/2101/643/92/4 of 16384 slots -> fractions + ~13%
+    # headroom.  Caps pool ACROSS the batch, so per-image variance
+    # averages out; the round-3 era +35% headroom cost ~1.4 MB of
+    # padding in every descriptor download (the serving bottleneck on
+    # thin links — PERF.md round-4 transport analysis).  Overflow is
+    # counted and reported, never silent.
+    fracs = (1.26, 0.6, 0.15, 0.046, 0.0075, 0.002)
     spec = []
     for bsize, frac in zip(sizes, fracs):
         cap = max(32, int(total * frac))
@@ -502,6 +507,14 @@ def extraction_step_grouped(images, cfg: HesaffConfig,
     fields = {k: jnp.concatenate([p[3][k] for p in pieces])
               for k in pieces[0][3]}
     descs = _sift_masked_stage(patches, pvalid, cfg)
+    # NOTE on output layout: each piece's slots are near-prefix-valid
+    # (the per-group compaction packs real keypoints first; only patch
+    # border rejects leave holes).  Two transfer optimizations were
+    # tried on hardware and REVERTED (round 4): device-side global
+    # compaction (the (K, 128) row gather is an XLA gather, ~150 ms at
+    # K=40k) and per-block prefix downloads (the tunnel is latency-
+    # dominated at ~110 ms/round-trip, so 8 small transfers lose to
+    # one 5 MB transfer).  Consumers should fetch `desc` in ONE piece.
     return DenseFeatures(
         valid=pvalid, img_idx=img_idx,
         x=fields["x"], y=fields["y"], s=fields["s"],
