@@ -54,17 +54,45 @@ def main():
         for s in range(nproc)
     ])
     cfg = HesaffConfig()
-    buckets = default_bucket_spec(H, W, cfg, per_image_cap=512, batch=nproc)
+    # shard_map (not GSPMD auto-partitioning): each process extracts
+    # its own image shard LOCALLY and the only cross-process collective
+    # is one explicit psum of the descriptor counts.  The GSPMD form
+    # (jit(extraction_step, in_shardings=...)) let the partitioner
+    # insert many dataflow-INDEPENDENT all-gathers, which XLA:CPU
+    # executes concurrently — two ranks can interleave them in
+    # different orders on the shared Gloo pair, tripping Gloo's
+    # sequential payload matching (SIGABRT; raced since round 2,
+    # surfaced with round-4 host timing).  shard_map with
+    # dataflow-chained collectives is also the deployment design
+    # (SURVEY.md §2.2): per-host work stays local, collectives are
+    # explicit and ordered.
+    buckets = default_bucket_spec(H, W, cfg, per_image_cap=512, batch=1)
     sh = NamedSharding(mesh, P("data", None, None))
     local = jax.device_put(imgs[pid][None], jax.local_devices()[0])
     garr = jax.make_array_from_single_device_arrays(
         (nproc, H, W), sh, [local])
-    step = jax.jit(lambda im: extraction_step(im, cfg, buckets),
-                   in_shardings=(sh,))
-    feats = step(garr)
-    # outputs replicate; every process sees the global keypoint set
-    n_desc = int(np.asarray(feats.valid).sum())
+
+    def local_step(im):
+        feats = extraction_step(im, cfg, buckets)
+        n = jnp.sum(feats.valid.astype(jnp.int32))
+        # scalar overflow -> (1,) so every output has a shardable axis
+        feats = feats._replace(overflow=feats.overflow[None])
+        return feats, jax.lax.psum(n, "data")
+
+    step = jax.jit(jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=P("data", None, None),
+        out_specs=(P("data"), P()), check_vma=False,
+    ))
+    feats, n_total = step(garr)
+    jax.block_until_ready(feats)
+    n_desc = int(np.asarray(n_total))
+    n_local = int(np.asarray(
+        feats.valid.addressable_shards[0].data
+        if hasattr(feats.valid, "addressable_shards") else feats.valid
+    ).sum())
     assert n_desc > 0, "no keypoints detected across the pod"
+    assert 0 < n_local < n_desc, "psum did not span processes"
 
     # ---- ring kNN across the process boundary ----
     rng = np.random.default_rng(0)
