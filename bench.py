@@ -252,10 +252,6 @@ def main():
                          "block_until_ready only (no descriptor "
                          "download) to separate device compute from "
                          "tunnel transfer; not the headline metric")
-    ap.add_argument("--fast", action="store_true",
-                    help="measure the FAST profile (13x13 SMM window; "
-                         "accuracy deltas in FAST.md) — NOT the "
-                         "reference-parity headline configuration")
     args = ap.parse_args()
 
     if not args.cpu:
@@ -297,13 +293,6 @@ def main():
         candidate_cap_div=args.cand_div,
         affine_cap_div=args.affine_div,
     )
-    if args.fast:
-        import dataclasses
-
-        from hesaff_tpu.config import FAST_CONFIG
-
-        cfg = dataclasses.replace(
-            cfg, smm_window_size=FAST_CONFIG.smm_window_size)
     rng_imgs = [
         gen_images.synth_image(args.width, args.height, seed=s)
         .astype(np.float32).mean(axis=-1)

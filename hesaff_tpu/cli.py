@@ -33,7 +33,6 @@ def _cmd_extract(args) -> int:
         patch_size=args.patch_size,
         mr_size=args.mr_size,
         upscale_input=args.upscale,
-        smm_window_size=(13 if args.fast else 19),
     )
     gray = load_image_gray(args.image)
     t0 = time.perf_counter()
@@ -186,10 +185,6 @@ def main(argv=None) -> int:
     pe.add_argument("--max-iter", type=int, default=16)
     pe.add_argument("--patch-size", type=int, default=41)
     pe.add_argument("--mr-size", type=float, default=3.0 * 3.0**0.5)
-    pe.add_argument("--fast", action="store_true",
-                    help="speed profile: 13x13 SMM window, ~53% less "
-                         "affine-stage work; NOT reference-parity "
-                         "(accuracy deltas in FAST.md)")
     pe.add_argument("--upscale", action="store_true",
                     help="2x upscale the input before the pyramid")
     pe.add_argument("--platform", default=None,

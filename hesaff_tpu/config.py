@@ -135,11 +135,3 @@ class HesaffConfig:
 
 DEFAULT_CONFIG = HesaffConfig()
 
-# Speed profile: a 13x13 second-moment window (vs the reference's
-# 19x19) cuts the affine-adaptation stage's sampling work ~53% (its
-# cost is quadratic in the window side) at a small, MEASURED accuracy
-# cost — see FAST.md for the Oxford-protocol deltas and PERF.md for
-# the throughput.  This is an explicit speed/accuracy tradeoff
-# configuration, NOT reference-compatible: outputs differ from the
-# CPU oracle (the default config remains the parity contract).
-FAST_CONFIG = dataclasses.replace(DEFAULT_CONFIG, smm_window_size=13)
