@@ -449,7 +449,7 @@ def dedup_octave(levels: list[LevelKeypoints], H: int, W: int):
 
 
 def detect_octave_batch(resps, blurs, sig, pd: float, cfg: HesaffConfig,
-                        octave: int = 0, valid_hw=None, chunk: int = 512):
+                        octave: int = 0, valid_hw=None, chunk: int = 0):
     """Whole-batch octave detection with flat cross-image walks.
 
     Same per-candidate arithmetic as the vmapped per-image path
@@ -469,6 +469,12 @@ def detect_octave_batch(resps, blurs, sig, pd: float, cfg: HesaffConfig,
     H, W = resps.shape[-2], resps.shape[-1]
     cap = cfg.level_capacity(H, W, octave)
     acap = cfg.affine_capacity(H, W, octave)
+    if not chunk:
+        # walk-chunk size: larger chunks mean fewer cond-wrapped
+        # dispatches (runtime padding skip stays effective because
+        # compaction packs real candidates into the leading chunks);
+        # env-tunable for on-chip sweeps
+        chunk = int(os.environ.get("HESAFF_WALK_CHUNK", "512"))
 
     # walk each level's candidates right after building that level's
     # channel pack, so only ONE (B, H, W, 8) map is live at a time —
