@@ -157,11 +157,13 @@ def _verify_on_chip(images, cfg, out, args) -> None:
         # therefore distributional: the BULK must be tight (p99.5) and
         # outliers must stay rare — a mis-lowered kernel shifts the
         # whole distribution and still fails loudly.
+        p995_max = 0.0
         for f in ("a11", "a12", "a21", "a22"):
             dp = np.asarray(getattr(out, f))[pv][ip]
             dr = np.asarray(getattr(ref, f))[rv][ir]
             d = np.abs(dp - dr)
             p995 = float(np.quantile(d, 0.995))
+            p995_max = max(p995_max, p995)
             frac_loose = float((d > 0.02).mean())
             if p995 > 0.02 or frac_loose > 0.002:
                 problems.append(
@@ -180,7 +182,7 @@ def _verify_on_chip(images, cfg, out, args) -> None:
                 f"frac kp max>2 = {frac_div:.4f}")
         print(f"# verify: matched {len(common)}/{n_r}, desc mean L1="
               f"{dmean:.4f}, kp max>2 frac={frac_div:.4f}, "
-              f"U p99.5={p995:.4f}", file=sys.stderr)
+              f"U p99.5={p995_max:.4f}", file=sys.stderr)
     if problems:
         for p in problems:
             print(f"# VERIFY FAILED: {p}", file=sys.stderr)
@@ -371,8 +373,13 @@ def main():
         f"platform={jax.devices()[0].platform}",
         file=sys.stderr,
     )
+    # a --probe-compute number skips the descriptor download and must
+    # not be mistaken for a genuine headline by JSON consumers
+    metric = "hesaff_sift_descriptors_per_sec_per_chip"
+    if args.probe_compute:
+        metric += "_compute_probe"
     print(json.dumps({
-        "metric": "hesaff_sift_descriptors_per_sec_per_chip",
+        "metric": metric,
         "value": round(desc_per_s, 1),
         "unit": "desc/s",
         "vs_baseline": round(desc_per_s / BASELINE_DESC_PER_S, 2),

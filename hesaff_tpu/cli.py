@@ -174,6 +174,82 @@ def _cmd_retrieve(args) -> int:
     return 0
 
 
+def _cmd_sfm(args) -> int:
+    """Incremental SfM over an ordered frame sequence (BASELINE config
+    #5): extract -> pairwise match + RANSAC verify -> union-find tracks
+    -> incremental registration + Schur BA -> poses/points npz and a
+    reprojection report (net-new tier; the reference stops at the
+    per-image .hesaff.sift export, /root/reference/hesaff.cpp:170-175).
+    """
+    import glob
+    import os
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import numpy as np
+
+    from hesaff_tpu.config import HesaffConfig
+    from hesaff_tpu.match import match_descriptors
+    from hesaff_tpu.pipeline import extract
+    from hesaff_tpu.ransac import ransac_fundamental
+    from hesaff_tpu.sfm import build_tracks, incremental_sfm
+    from hesaff_tpu.sift_io import load_image_gray
+
+    paths = list(args.frames)
+    if len(paths) == 1 and os.path.isdir(paths[0]):
+        exts = ("*.png", "*.ppm", "*.pgm", "*.jpg", "*.jpeg", "*.pnm")
+        paths = sorted(p for e in exts
+                       for p in glob.glob(os.path.join(paths[0], e)))
+    if len(paths) < 2:
+        print("sfm needs >= 2 frames (got "
+              f"{len(paths)})", file=sys.stderr)
+        return 1
+
+    cfg = HesaffConfig()
+    feats, shape0 = [], None
+    for p in paths:
+        img = load_image_gray(p)
+        shape0 = shape0 or img.shape
+        feats.append(extract(img, cfg))
+    H0, W0 = shape0
+    focal = args.focal or 1.2 * max(H0, W0)
+    K = np.array([[focal, 0.0, W0 / 2.0],
+                  [0.0, focal, H0 / 2.0],
+                  [0.0, 0.0, 1.0]])
+
+    kps = [np.stack([f.x, f.y], 1) for f in feats]
+    matches = {}
+    for i in range(len(paths)):
+        for j in range(i + 1, min(len(paths), i + 1 + args.window)):
+            i1, i2 = match_descriptors(feats[i].desc, feats[j].desc,
+                                       ratio=args.ratio)
+            i1, i2 = np.asarray(i1), np.asarray(i2)
+            if len(i1) < 16:
+                continue
+            res = ransac_fundamental(kps[i][i1], kps[j][i2])
+            inl = np.asarray(res.inliers)
+            if inl.sum() < 16:
+                continue
+            matches[(i, j)] = (i1[inl], i2[inl])
+    if (0, 1) not in matches:
+        print("frames 0 and 1 share too few verified matches to seed",
+              file=sys.stderr)
+        return 1
+    tracks = build_tracks(kps, matches)
+    rec = incremental_sfm(tracks, K, ba_every=args.ba_every)
+    out = args.output or "recon.npz"
+    np.savez(out, cam_rvec=rec.cam_rvec, cam_tvec=rec.cam_tvec,
+             points=rec.points, track_ids=rec.track_ids,
+             frame_ids=rec.frame_ids, rmse=rec.rmse, K=K,
+             frames=np.array(paths))
+    print(f"frames={len(paths)} registered={len(rec.cam_rvec)} "
+          f"points={len(rec.points)} tracks={len(tracks)} "
+          f"reproj_rmse={rec.rmse:.5f} -> {out}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="hesaff_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -219,6 +295,22 @@ def main(argv=None) -> int:
     pr.add_argument("--ratio", type=float, default=0.9)
     pr.add_argument("--platform", default=None)
     pr.set_defaults(fn=_cmd_retrieve)
+
+    ps = sub.add_parser("sfm",
+                        help="incremental SfM over an ordered frame "
+                             "sequence -> poses/points npz")
+    ps.add_argument("frames", nargs="+",
+                    help="frame images in order, or one directory")
+    ps.add_argument("-o", "--output", default=None,
+                    help="output npz (default recon.npz)")
+    ps.add_argument("--focal", type=float, default=None,
+                    help="focal length in px (default 1.2*max(H,W))")
+    ps.add_argument("--ratio", type=float, default=0.8)
+    ps.add_argument("--window", type=int, default=5,
+                    help="match frame i with i+1..i+window")
+    ps.add_argument("--ba-every", type=int, default=5)
+    ps.add_argument("--platform", default=None)
+    ps.set_defaults(fn=_cmd_sfm)
 
     pf = sub.add_parser("fleet",
                         help="checkpointed batch extraction over images")

@@ -35,6 +35,7 @@ class Reconstruction(NamedTuple):
     points: np.ndarray     # (P, 3)
     track_ids: np.ndarray  # (P,) original track indices
     rmse: float
+    frame_ids: np.ndarray = np.zeros(0, np.int32)  # (C,) registered frames
 
 
 class UnionFind:
@@ -312,6 +313,7 @@ def incremental_sfm(tracks, K, ba_every: int = 5,
         points=np.array([X3d[p] for p in pt_ids]),
         track_ids=np.array(pt_ids),
         rmse=float(err),
+        frame_ids=np.array(cam_ids, np.int32),
     )
 
 

@@ -100,7 +100,9 @@ def _submit_chunk(imgs: np.ndarray, hws: np.ndarray, cfg,
         from hesaff_tpu.dist import default_group_spec, \
             extraction_step_grouped
 
-        key = (H, W, B, per_image_cap)
+        # cfg is part of the key: default_group_spec reads mr_size /
+        # patch-workspace fields, so two cfgs must not share a spec
+        key = (H, W, B, per_image_cap, cfg)
         groups = _GROUP_SPECS.get(key)
         if groups is None:
             groups = default_group_spec(H, W, cfg,

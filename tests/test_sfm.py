@@ -95,3 +95,68 @@ def test_incremental_sfm_ate():
     # camera track spans ~8 units; ATE under 2% of trajectory extent
     assert ate < 0.15, ate
     assert rec.rmse < 2e-3  # normalized-coordinate reprojection rmse
+
+
+def test_cli_sfm_smoke(monkeypatch, tmp_path):
+    """CLI `sfm` verb wiring: frames -> pairwise match -> tracks ->
+    incremental SfM -> npz + report.  Extraction and image loading are
+    stubbed with a rendered synthetic scene (geometry correctness is
+    test_incremental_sfm_ate; this exercises the user-facing verb,
+    BASELINE config #5)."""
+    from hesaff_tpu.pipeline import Features
+
+    rng = np.random.RandomState(3)
+    F, P = 4, 150
+    K = np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]])
+    X = rng.rand(P, 3) * [6, 4, 3] + [-3, -2, 7]
+    base_desc = rng.randint(0, 255, (P, 128)).astype(np.uint8)
+    rv_gt, tv_gt, feats = [], [], []
+    for f in range(F):
+        rv = np.array([0.0, 0.15 * f, 0.0])
+        C = np.array([1.0 * f - 1.5, 0.1 * f, 0.2 * np.sin(f)])
+        R = np.asarray(so3_exp(jnp.asarray(rv, jnp.float32)))
+        tv = -R @ C
+        rv_gt.append(rv)
+        tv_gt.append(tv)
+        Xc = X @ R.T + tv
+        uv = np.stack([
+            K[0, 0] * Xc[:, 0] / Xc[:, 2] + K[0, 2],
+            K[1, 1] * Xc[:, 1] / Xc[:, 2] + K[1, 2],
+        ], 1) + rng.randn(P, 2) * 0.3
+        vis = ((Xc[:, 2] > 1.0) & (uv[:, 0] > 0) & (uv[:, 0] < 640)
+               & (uv[:, 1] > 0) & (uv[:, 1] < 480))
+        idx = np.nonzero(vis)[0]
+        n = len(idx)
+        feats.append(Features(
+            x=uv[idx, 0].astype(np.float32),
+            y=uv[idx, 1].astype(np.float32),
+            s=np.full(n, 2.0, np.float32),
+            a11=np.ones(n, np.float32), a12=np.zeros(n, np.float32),
+            a21=np.zeros(n, np.float32), a22=np.ones(n, np.float32),
+            response=np.ones(n, np.float32),
+            type=np.zeros(n, np.int32),
+            desc=base_desc[idx],
+        ))
+
+    import hesaff_tpu.pipeline as pipeline
+    import hesaff_tpu.sift_io as sift_io
+
+    it = iter(feats)
+    monkeypatch.setattr(sift_io, "load_image_gray",
+                        lambda p: np.zeros((480, 640), np.float32))
+    monkeypatch.setattr(pipeline, "extract",
+                        lambda img, cfg, **kw: next(it))
+
+    from hesaff_tpu.cli import main
+    from hesaff_tpu.sfm import absolute_trajectory_error
+
+    out = tmp_path / "recon.npz"
+    rc = main(["sfm"] + [f"frame{i}.png" for i in range(F)]
+              + ["-o", str(out), "--focal", "600"])
+    assert rc == 0
+    d = np.load(out)
+    assert d["cam_rvec"].shape == (F, 3)
+    assert len(d["points"]) > 50
+    ate = absolute_trajectory_error(d["cam_rvec"], d["cam_tvec"],
+                                    np.array(rv_gt), np.array(tv_gt))
+    assert ate < 0.2, ate

@@ -90,6 +90,10 @@ def main():
     t0 = time.perf_counter()
     inflight = []
     n_desc = 0
+    # fixed-capacity contract: overflow is counted and reported, never
+    # silent (a capacity overflow would drop keypoints from the index
+    # and skew top1/desc-per-s) — mirror fleet._drain_chunk
+    n_overflow = 0
     for b0 in range(0, n, B):
         imgs = jnp.asarray(np.stack([corpus_image(i)
                                      for i in range(b0, b0 + B)]))
@@ -103,11 +107,13 @@ def main():
             descs.append(dd[keep])
             owners.append(bb + ii[keep])
             n_desc += int(keep.sum())
+            n_overflow += int(np.asarray(out.overflow))
     for bb, out in inflight:
         valid = np.asarray(out.valid)
         descs.append(np.asarray(out.desc)[valid])
         owners.append(bb + np.asarray(out.img_idx)[valid])
         n_desc += int(valid.sum())
+        n_overflow += int(np.asarray(out.overflow))
     t_extract = time.perf_counter() - t0
 
     # device-resident database: jnp.asarray inside query_votes is then
@@ -142,6 +148,7 @@ def main():
         out = step(jnp.asarray(np.broadcast_to(
             warped, (B, H, W)).copy()))
         valid = np.asarray(out.valid) & (np.asarray(out.img_idx) == 0)
+        n_overflow += int(np.asarray(out.overflow))
         qdesc = np.asarray(out.desc)[valid].astype(np.float32)
         # pad the query to a fixed shape bucket so the kNN executable
         # is built once, not per distinct descriptor count; +1e6
@@ -164,6 +171,7 @@ def main():
         "extract_desc_per_s": round(n_desc / t_extract, 1),
         "query_latency_s": round(t_query, 3),
         "top1_accuracy": round(hits / max(1, args.queries), 3),
+        "overflow": n_overflow,
         "compile_s": round(t_compile, 1),
         "platform": jax.devices()[0].platform,
     }))
