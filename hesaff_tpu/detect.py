@@ -34,6 +34,21 @@ from hesaff_tpu.ops.linalg import solve3x3
 # set =0 to fall back to the XLA twin.
 _DETECT_PALLAS = os.environ.get("HESAFF_DETECT_PALLAS", "1") == "1"
 
+# dense tile-resident walk (round 5): replace the sparse per-candidate
+# localization walks (candidate compaction + chunked window walks +
+# scatter — ~55 ms of the r4 batch) with a DENSE pointer-composition
+# over the localization maps.  Each pixel's walk step is a pure
+# function of its own cell (+-1 px moves, pyramid.cpp:174-185), so the
+# full <=5-evaluation walk from EVERY pixel is 4 compositions of a
+# per-pixel "next" relation — each composition a 9-way select over
+# +-1-shifted state maps.  Overlapping walks share work through the
+# composition, no gathers or capacity anywhere before the final
+# keypoint compaction, and the whole chain is branch-free stencil math
+# (fusable; Pallas-residency candidate).  Bit-exact with the sparse
+# walk by construction: identical per-cell map values routed through
+# selects.
+_DETECT_DENSE = os.environ.get("HESAFF_DETECT_DENSE", "1") == "1"
+
 HESSIAN_DARK = 0
 HESSIAN_BRIGHT = 1
 HESSIAN_SADDLE = 2
@@ -317,6 +332,123 @@ def _walk_window(w, cr, cc, r0, c0, cur_scale, pixel_distance,
     return ok, x, y, s, val, ptype, r, c
 
 
+def _shift_rep(a, dr, dc):
+    """a sampled at (r+dr, c+dc), edge-replicated (shared stencil)."""
+    p = jnp.pad(a, 1, mode="edge")
+    H, W = a.shape
+    return p[1 + dr : 1 + dr + H, 1 + dc : 1 + dc + W]
+
+
+def _walk_dense(allm, cand_mask, cur_scale, pixel_distance,
+                cfg: HesaffConfig):
+    """Dense pointer-composition walk: every pixel's localization walk
+    evaluated simultaneously (tile-resident reformulation of
+    pyramid.cpp:122-204; decision logic identical to _walk_window).
+
+    The walk's per-evaluation outcome at a cell is a pure function of
+    that cell: NaN/border rejection, the +-1 move (or convergence),
+    and the adopted (b, val).  Composing the one-step relation k times
+    yields the full walk from every start pixel:
+
+        G_1(p)     = stop-record of p (no moves left)
+        G_{k+1}(p) = stop(p) ? record(p) : G_k(p + step(p))
+
+    where the continuation read is a 9-way select over +-1-shifted
+    G_k maps (absolute final-cell coordinates ride as channels, so the
+    select needs no displacement arithmetic).  Overlapping walks share
+    all intermediate work; there is no per-candidate compaction, no
+    window gather, and no scatter — the sparse machinery this replaces
+    measured ~55 ms/batch-16 (PERF.md r4 attribution).
+
+    Bit-exactness: every channel value is the same f32 the sparse walk
+    reads from the same maps; selects only route them.  The final
+    x/y/s/type formulas are shared verbatim.
+
+    Returns (ok, x, y, s, val, ptype, r_final, c_final) dense (H, W)
+    planes for walks started at each pixel (ok pre-ANDed with
+    cand_mask and the start-cell edge test).
+    """
+    H, W = allm.shape[:2]
+    b0 = allm[..., 0]
+    b1 = allm[..., 1]
+    b2 = allm[..., 2]
+    val = allm[..., 3]
+    nanf = allm[..., 4]
+    edgef = allm[..., 5]
+    blur = allm[..., 6]
+
+    # dense blur-Lxx (the sparse walk's at(dr,dc-1)[6] - 2 at + at(+1))
+    lxx = (_shift_rep(blur, 0, -1) - 2.0 * blur
+           + _shift_rep(blur, 0, 1))
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+
+    # per-cell move/rejection relation (pyramid.cpp:174-185 semantics,
+    # exactly _walk_window's per-iteration block)
+    nan_bad = nanf > 0.5
+    move_px = b0 > cfg.max_subpixel_shift
+    move_nx = b0 < -cfg.max_subpixel_shift
+    move_py = b1 > cfg.max_subpixel_shift
+    move_ny = b1 < -cfg.max_subpixel_shift
+    bad_px = move_px & ~(cols < W - cfg.point_safety_border)
+    bad_nx = move_nx & ~(cols > cfg.point_safety_border)
+    bad_py = move_py & ~(rows < H - cfg.point_safety_border)
+    bad_ny = move_ny & ~(rows > cfg.point_safety_border)
+    border_bad = bad_px | bad_nx | bad_py | bad_ny
+    sc = (jnp.where(move_px, 1, 0) + jnp.where(move_nx, -1, 0))
+    sr = (jnp.where(move_py, 1, 0) + jnp.where(move_ny, -1, 0))
+    moved = (sc != 0) | (sr != 0)
+    # a walk stops at this cell: rejected (NaN solve / blocked move)
+    # or converged (no move wanted); otherwise it steps (sr, sc)
+    stop = nan_bad | border_bad | ~moved
+    rejected0 = (nan_bad | border_bad).astype(jnp.float32)
+
+    # stop-record channels: [rejected, r_final, c_final, b0, b1, b2,
+    # val, lxx] — absolute final-cell coords so composition is a pure
+    # select
+    rec = jnp.stack([
+        rejected0, rows.astype(jnp.float32), cols.astype(jnp.float32),
+        b0, b1, b2, val, lxx], axis=-1)               # (H, W, 8)
+
+    G = rec                                           # G_1
+    stop_f = stop[..., None].astype(jnp.float32)
+    for _ in range(cfg.localize_iterations - 1):
+        cont = jnp.zeros_like(G)
+        for a in (-1, 0, 1):
+            for b_ in (-1, 0, 1):
+                pred = ((sr == a) & (sc == b_)).astype(jnp.float32)
+                shifted = jnp.stack(
+                    [_shift_rep(G[..., ch], a, b_)
+                     for ch in range(8)], axis=-1)
+                cont = cont + pred[..., None] * shifted
+        G = stop_f * rec + (1.0 - stop_f) * cont
+
+    rejected = G[..., 0] > 0.5
+    rf = G[..., 1].astype(jnp.int32)
+    cf = G[..., 2].astype(jnp.int32)
+    fb0, fb1, fb2 = G[..., 3], G[..., 4], G[..., 5]
+    fval, flxx = G[..., 6], G[..., 7]
+
+    lim = cfg.final_shift_limit
+    shift_bad = ((jnp.abs(fb0) > lim) | (jnp.abs(fb1) > lim)
+                 | (jnp.abs(fb2) > lim))
+    weak = jnp.abs(fval) < cfg.final_threshold
+    ok = (cand_mask & ~(edgef > 0.5) & ~rejected
+          & ~shift_bad & ~weak)
+
+    scale = cur_scale * jnp.exp2(fb2 / cfg.num_scales)
+    ptype = jnp.where(
+        fval < 0,
+        HESSIAN_SADDLE,
+        jnp.where(flxx < 0, HESSIAN_DARK, HESSIAN_BRIGHT),
+    ).astype(jnp.int32)
+    x = pixel_distance * (cf.astype(jnp.float32) + fb0)
+    y = pixel_distance * (rf.astype(jnp.float32) + fb1)
+    s = pixel_distance * scale
+    return ok, x, y, s, fval, ptype, rf, cf
+
+
 def _level_maps(low, cur, high, blur, cfg: HesaffConfig, valid_hw=None):
     """Candidate mask + packed walk channels for one detection level.
 
@@ -448,6 +580,90 @@ def dedup_octave(levels: list[LevelKeypoints], H: int, W: int):
     return out
 
 
+def _dedup_compacted(cell, valid, big: int):
+    """First-come-first-marked dedup over an already-compacted slot
+    array (slots in scan order).  Same octaveMap semantics as
+    dedup_octave (pyramid.cpp:189-193), on acap slots instead of
+    3x-candidate-capacity level arrays."""
+    key = jnp.where(valid, cell, big)
+    perm = jnp.argsort(key, stable=True)
+    sorted_key = key[perm]
+    first = jnp.concatenate(
+        [jnp.asarray([True]), sorted_key[1:] != sorted_key[:-1]])
+    keep_sorted = first & (sorted_key != big)
+    return jnp.zeros_like(valid).at[perm].set(keep_sorted)
+
+
+def detect_octave_batch_dense(resps, blurs, sig, pd: float,
+                              cfg: HesaffConfig, octave: int = 0,
+                              valid_hw=None):
+    """Whole-batch octave detection via the dense tile-resident walk.
+
+    Per level: fused maps (+ NMS mask) -> _walk_dense -> dense (H, W)
+    keypoint planes.  Then ONE per-image compaction over the (3, H, W)
+    accepted mask (level-major raster order == the reference's scan
+    order), an 8-channel record fetch at the compacted indices, and
+    octaveMap dedup on the acap slots.  No candidate capacities, no
+    sparse walk machinery; overflow exists only at the final acap
+    compaction (counted, never silent).
+
+    Equivalent to the sparse path whenever the sparse path's candidate
+    capacities did not overflow (the dense walk has none to overflow).
+    """
+    B = resps.shape[0]
+    H, W = resps.shape[-2], resps.shape[-1]
+    acap = cfg.affine_capacity(H, W, octave)
+
+    ok_pl, rec_pl, ncand_pl = [], [], []
+    for l in (1, 2, 3):
+        def per_image(low, cur, high, blur, vhw=None):
+            mask, allm = _level_maps(low, cur, high, blur, cfg,
+                                     valid_hw=vhw)
+            ok, x, y, s, v, t, rf, cf = _walk_dense(
+                allm, mask, jnp.float32(sig[l]), jnp.float32(pd), cfg)
+            rec = jnp.stack(
+                [x, y, s, v, t.astype(jnp.float32),
+                 rf.astype(jnp.float32), cf.astype(jnp.float32)],
+                axis=-1)                              # (H, W, 7)
+            return ok, rec, jnp.sum(mask.astype(jnp.int32))
+
+        args = (resps[:, l - 1], resps[:, l], resps[:, l + 1],
+                blurs[:, l])
+        if valid_hw is None:
+            ok, rec, nc = jax.vmap(
+                lambda lo, cu, hi, b: per_image(lo, cu, hi, b))(*args)
+        else:
+            ok, rec, nc = jax.vmap(per_image)(*args, valid_hw)
+        ok_pl.append(ok)
+        rec_pl.append(rec)
+        ncand_pl.append(nc)
+
+    ok_all = jnp.stack(ok_pl, axis=1)                 # (B, 3, H, W)
+    rec_all = jnp.stack(rec_pl, axis=1)               # (B, 3, H, W, 7)
+    n_cand = sum(ncand_pl)
+
+    HW = H * W
+
+    def post(ok_i, rec_i):
+        flat_ok = ok_i.reshape(-1)                    # (3*H*W,)
+        idx, valid, overflow = compact_indices(flat_ok, acap)
+        rec = jnp.take(rec_i.reshape(3 * HW, 7), idx, axis=0)
+        level = (idx // HW + 1).astype(jnp.int32)
+        rf = rec[:, 5].astype(jnp.int32)
+        cf = rec[:, 6].astype(jnp.int32)
+        keep = _dedup_compacted(rf * W + cf, valid, H * W + 1)
+        return dict(
+            ok=keep, level=jnp.where(valid, level, 1),
+            x=rec[:, 0], y=rec[:, 1], s=rec[:, 2],
+            response=rec[:, 3], type=rec[:, 4].astype(jnp.int32),
+            overflow=overflow,
+        )
+
+    out = jax.vmap(post)(ok_all, rec_all)
+    out["n_cand"] = n_cand
+    return out
+
+
 def detect_octave_batch(resps, blurs, sig, pd: float, cfg: HesaffConfig,
                         octave: int = 0, valid_hw=None, chunk: int = 0):
     """Whole-batch octave detection with flat cross-image walks.
@@ -465,6 +681,10 @@ def detect_octave_batch(resps, blurs, sig, pd: float, cfg: HesaffConfig,
     Returns the dict of (B, acap) fields that batch.detect_affine_batch
     consumes (ok/level/x/y/s/response/type + overflow/n_cand per image).
     """
+    if _DETECT_DENSE:
+        return detect_octave_batch_dense(resps, blurs, sig, pd, cfg,
+                                         octave=octave,
+                                         valid_hw=valid_hw)
     B = resps.shape[0]
     H, W = resps.shape[-2], resps.shape[-1]
     cap = cfg.level_capacity(H, W, octave)
