@@ -339,47 +339,42 @@ def _shift_rep(a, dr, dc):
     return p[1 + dr : 1 + dr + H, 1 + dc : 1 + dc + W]
 
 
-def _walk_dense(allm, cand_mask, cur_scale, pixel_distance,
-                cfg: HesaffConfig):
+def _walk_dense(allm, cand_mask, cfg: HesaffConfig):
     """Dense pointer-composition walk: every pixel's localization walk
     evaluated simultaneously (tile-resident reformulation of
     pyramid.cpp:122-204; decision logic identical to _walk_window).
 
     The walk's per-evaluation outcome at a cell is a pure function of
     that cell: NaN/border rejection, the +-1 move (or convergence),
-    and the adopted (b, val).  Composing the one-step relation k times
-    yields the full walk from every start pixel:
+    and the accept checks on the adopted (b, val).  Composing the
+    one-step relation k times yields the full walk from every start
+    pixel:
 
         G_1(p)     = stop-record of p (no moves left)
         G_{k+1}(p) = stop(p) ? record(p) : G_k(p + step(p))
 
     where the continuation read is a 9-way select over +-1-shifted
-    G_k maps (absolute final-cell coordinates ride as channels, so the
-    select needs no displacement arithmetic).  Overlapping walks share
-    all intermediate work; there is no per-candidate compaction, no
-    window gather, and no scatter — the sparse machinery this replaces
-    measured ~55 ms/batch-16 (PERF.md r4 attribution).
+    G_k maps.  The ENTIRE walk state packs into one f32 channel —
+    final-cell index (< 2^23) plus a stop-accept bit at 2^23, all
+    values exact integers under f32 — so each composition touches a
+    single (H, W) plane (an 8-channel variant measured ~120 ms SLOWER
+    than the sparse walk on chip: XLA materialized the shifted stacks;
+    see PERF.md r5).  Per-keypoint fields (b, val, Lxx) are fetched
+    sparsely at the final cells AFTER compaction, straight from the
+    same maps the sparse walk reads — bit-identical routing.
 
-    Bit-exactness: every channel value is the same f32 the sparse walk
-    reads from the same maps; selects only route them.  The final
-    x/y/s/type formulas are shared verbatim.
-
-    Returns (ok, x, y, s, val, ptype, r_final, c_final) dense (H, W)
-    planes for walks started at each pixel (ok pre-ANDed with
-    cand_mask and the start-cell edge test).
+    Returns (ok (H, W) bool — start-pixel acceptance, pre-ANDed with
+    cand_mask and the start-cell edge test; cell (H, W) int32 — the
+    final cell index r_final * W + c_final of each start's walk).
     """
     H, W = allm.shape[:2]
+    assert H * W < (1 << 23), "packed walk channel needs H*W < 2^23"
     b0 = allm[..., 0]
     b1 = allm[..., 1]
     b2 = allm[..., 2]
     val = allm[..., 3]
     nanf = allm[..., 4]
     edgef = allm[..., 5]
-    blur = allm[..., 6]
-
-    # dense blur-Lxx (the sparse walk's at(dr,dc-1)[6] - 2 at + at(+1))
-    lxx = (_shift_rep(blur, 0, -1) - 2.0 * blur
-           + _shift_rep(blur, 0, 1))
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
@@ -400,53 +395,36 @@ def _walk_dense(allm, cand_mask, cur_scale, pixel_distance,
     sr = (jnp.where(move_py, 1, 0) + jnp.where(move_ny, -1, 0))
     moved = (sc != 0) | (sr != 0)
     # a walk stops at this cell: rejected (NaN solve / blocked move)
-    # or converged (no move wanted); otherwise it steps (sr, sc)
+    # or converged (no move wanted) — or, at the base case, out of
+    # evaluations (the last iteration's move is never adopted)
     stop = nan_bad | border_bad | ~moved
-    rejected0 = (nan_bad | border_bad).astype(jnp.float32)
 
-    # stop-record channels: [rejected, r_final, c_final, b0, b1, b2,
-    # val, lxx] — absolute final-cell coords so composition is a pure
-    # select
-    rec = jnp.stack([
-        rejected0, rows.astype(jnp.float32), cols.astype(jnp.float32),
-        b0, b1, b2, val, lxx], axis=-1)               # (H, W, 8)
+    # stop-accept bit: would a walk ENDING at this cell be accepted?
+    # (final |b| <= limit, |val| >= threshold, and not nan/border-
+    # rejected here — pyramid.cpp:189-190 + the walk's rejections)
+    lim = cfg.final_shift_limit
+    shift_bad = ((jnp.abs(b0) > lim) | (jnp.abs(b1) > lim)
+                 | (jnp.abs(b2) > lim))
+    weak = jnp.abs(val) < cfg.final_threshold
+    stop_ok = ~nan_bad & ~border_bad & ~shift_bad & ~weak
+
+    OKBIT = jnp.float32(1 << 23)
+    cell_f = (rows * W + cols).astype(jnp.float32)
+    rec = cell_f + jnp.where(stop_ok, OKBIT, 0.0)     # exact in f32
 
     G = rec                                           # G_1
-    stop_f = stop[..., None].astype(jnp.float32)
     for _ in range(cfg.localize_iterations - 1):
         cont = jnp.zeros_like(G)
         for a in (-1, 0, 1):
             for b_ in (-1, 0, 1):
                 pred = ((sr == a) & (sc == b_)).astype(jnp.float32)
-                shifted = jnp.stack(
-                    [_shift_rep(G[..., ch], a, b_)
-                     for ch in range(8)], axis=-1)
-                cont = cont + pred[..., None] * shifted
-        G = stop_f * rec + (1.0 - stop_f) * cont
+                cont = cont + pred * _shift_rep(G, a, b_)
+        G = jnp.where(stop, rec, cont)
 
-    rejected = G[..., 0] > 0.5
-    rf = G[..., 1].astype(jnp.int32)
-    cf = G[..., 2].astype(jnp.int32)
-    fb0, fb1, fb2 = G[..., 3], G[..., 4], G[..., 5]
-    fval, flxx = G[..., 6], G[..., 7]
-
-    lim = cfg.final_shift_limit
-    shift_bad = ((jnp.abs(fb0) > lim) | (jnp.abs(fb1) > lim)
-                 | (jnp.abs(fb2) > lim))
-    weak = jnp.abs(fval) < cfg.final_threshold
-    ok = (cand_mask & ~(edgef > 0.5) & ~rejected
-          & ~shift_bad & ~weak)
-
-    scale = cur_scale * jnp.exp2(fb2 / cfg.num_scales)
-    ptype = jnp.where(
-        fval < 0,
-        HESSIAN_SADDLE,
-        jnp.where(flxx < 0, HESSIAN_DARK, HESSIAN_BRIGHT),
-    ).astype(jnp.int32)
-    x = pixel_distance * (cf.astype(jnp.float32) + fb0)
-    y = pixel_distance * (rf.astype(jnp.float32) + fb1)
-    s = pixel_distance * scale
-    return ok, x, y, s, fval, ptype, rf, cf
+    okbit = G >= OKBIT
+    cell = (G - jnp.where(okbit, OKBIT, 0.0)).astype(jnp.int32)
+    ok = cand_mask & ~(edgef > 0.5) & okbit
+    return ok, cell
 
 
 def _level_maps(low, cur, high, blur, cfg: HesaffConfig, valid_hw=None):
@@ -597,14 +575,15 @@ def _dedup_compacted(cell, valid, big: int):
 def detect_octave_batch_dense(resps, blurs, sig, pd: float,
                               cfg: HesaffConfig, octave: int = 0,
                               valid_hw=None):
-    """Whole-batch octave detection via the dense tile-resident walk.
+    """Whole-batch octave detection via the dense packed walk.
 
-    Per level: fused maps (+ NMS mask) -> _walk_dense -> dense (H, W)
-    keypoint planes.  Then ONE per-image compaction over the (3, H, W)
-    accepted mask (level-major raster order == the reference's scan
-    order), an 8-channel record fetch at the compacted indices, and
-    octaveMap dedup on the acap slots.  No candidate capacities, no
-    sparse walk machinery; overflow exists only at the final acap
+    Per level: fused maps (+ NMS mask) -> _walk_dense -> dense
+    (ok, final-cell) planes.  Then ONE per-image compaction over the
+    (3, H, W) accepted mask (level-major raster order == the
+    reference's scan order), a sparse fetch of (b0, b1, b2, val, Lxx)
+    at the acap final cells from the SAME maps the sparse walk reads,
+    and octaveMap dedup on the acap slots.  No candidate capacities,
+    no sparse walk machinery; overflow exists only at the final acap
     compaction (counted, never silent).
 
     Equivalent to the sparse path whenever the sparse path's candidate
@@ -612,54 +591,72 @@ def detect_octave_batch_dense(resps, blurs, sig, pd: float,
     """
     B = resps.shape[0]
     H, W = resps.shape[-2], resps.shape[-1]
+    HW = H * W
     acap = cfg.affine_capacity(H, W, octave)
 
-    ok_pl, rec_pl, ncand_pl = [], [], []
+    ok_pl, cell_pl, tab_pl, ncand_pl = [], [], [], []
     for l in (1, 2, 3):
         def per_image(low, cur, high, blur, vhw=None):
             mask, allm = _level_maps(low, cur, high, blur, cfg,
                                      valid_hw=vhw)
-            ok, x, y, s, v, t, rf, cf = _walk_dense(
-                allm, mask, jnp.float32(sig[l]), jnp.float32(pd), cfg)
-            rec = jnp.stack(
-                [x, y, s, v, t.astype(jnp.float32),
-                 rf.astype(jnp.float32), cf.astype(jnp.float32)],
-                axis=-1)                              # (H, W, 7)
-            return ok, rec, jnp.sum(mask.astype(jnp.int32))
+            ok, cell = _walk_dense(allm, mask, cfg)
+            # field table for the sparse final-cell fetch: the walk
+            # reads b/val at the final cell and blur-Lxx around it
+            lxx = (_shift_rep(allm[..., 6], 0, -1)
+                   - 2.0 * allm[..., 6]
+                   + _shift_rep(allm[..., 6], 0, 1))
+            tab = jnp.stack(
+                [allm[..., 0], allm[..., 1], allm[..., 2],
+                 allm[..., 3], lxx], axis=-1)          # (H, W, 5)
+            return ok, cell, tab, jnp.sum(mask.astype(jnp.int32))
 
         args = (resps[:, l - 1], resps[:, l], resps[:, l + 1],
                 blurs[:, l])
         if valid_hw is None:
-            ok, rec, nc = jax.vmap(
+            ok, cell, tab, nc = jax.vmap(
                 lambda lo, cu, hi, b: per_image(lo, cu, hi, b))(*args)
         else:
-            ok, rec, nc = jax.vmap(per_image)(*args, valid_hw)
+            ok, cell, tab, nc = jax.vmap(per_image)(*args, valid_hw)
         ok_pl.append(ok)
-        rec_pl.append(rec)
+        cell_pl.append(cell)
+        tab_pl.append(tab)
         ncand_pl.append(nc)
 
     ok_all = jnp.stack(ok_pl, axis=1)                 # (B, 3, H, W)
-    rec_all = jnp.stack(rec_pl, axis=1)               # (B, 3, H, W, 7)
+    cell_all = jnp.stack(cell_pl, axis=1)             # (B, 3, H, W)
+    tab_all = jnp.stack(tab_pl, axis=1)               # (B, 3, H, W, 5)
     n_cand = sum(ncand_pl)
+    sig_v = jnp.asarray(sig, jnp.float32)
+    pdf = jnp.float32(pd)
 
-    HW = H * W
-
-    def post(ok_i, rec_i):
+    def post(ok_i, cell_i, tab_i):
         flat_ok = ok_i.reshape(-1)                    # (3*H*W,)
         idx, valid, overflow = compact_indices(flat_ok, acap)
-        rec = jnp.take(rec_i.reshape(3 * HW, 7), idx, axis=0)
-        level = (idx // HW + 1).astype(jnp.int32)
-        rf = rec[:, 5].astype(jnp.int32)
-        cf = rec[:, 6].astype(jnp.int32)
-        keep = _dedup_compacted(rf * W + cf, valid, H * W + 1)
+        level0 = (idx // HW).astype(jnp.int32)        # 0-based level-1
+        cellk = jnp.take(cell_i.reshape(-1), idx)     # final cells
+        rec = jnp.take(tab_i.reshape(3 * HW, 5),
+                       level0 * HW + cellk, axis=0)   # (acap, 5)
+        b0k, b1k, b2k, valk, lxxk = (rec[:, i] for i in range(5))
+        rf = cellk // W
+        cf = cellk - rf * W
+        x = pdf * (cf.astype(jnp.float32) + b0k)
+        y = pdf * (rf.astype(jnp.float32) + b1k)
+        scale = (sig_v[level0 + 1]
+                 * jnp.exp2(b2k / cfg.num_scales))
+        sk = pdf * scale
+        ptype = jnp.where(
+            valk < 0,
+            HESSIAN_SADDLE,
+            jnp.where(lxxk < 0, HESSIAN_DARK, HESSIAN_BRIGHT),
+        ).astype(jnp.int32)
+        keep = _dedup_compacted(cellk, valid, HW + 1)
         return dict(
-            ok=keep, level=jnp.where(valid, level, 1),
-            x=rec[:, 0], y=rec[:, 1], s=rec[:, 2],
-            response=rec[:, 3], type=rec[:, 4].astype(jnp.int32),
+            ok=keep, level=jnp.where(valid, level0 + 1, 1),
+            x=x, y=y, s=sk, response=valk, type=ptype,
             overflow=overflow,
         )
 
-    out = jax.vmap(post)(ok_all, rec_all)
+    out = jax.vmap(post)(ok_all, cell_all, tab_all)
     out["n_cand"] = n_cand
     return out
 

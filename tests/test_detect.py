@@ -116,3 +116,47 @@ def test_detect_octave_batch_matches_per_image(golden_small):
                                   np.asarray(ref["overflow"]))
     np.testing.assert_array_equal(np.asarray(got["n_cand"]),
                                   np.asarray(ref["n_cand"]))
+
+
+def test_dense_walk_matches_sparse_batch():
+    """The packed dense pointer-composition walk (detect_octave_batch_dense)
+    must reproduce the sparse per-candidate walk slot-for-slot: same ok
+    masks, same levels/coords/response/type bits (s carries a <=1-ulp
+    exp2 lowering-context wobble), same overflow and candidate counts."""
+    import jax
+
+    from hesaff_tpu import detect
+    from hesaff_tpu.pyramid import (build_octave, level_sigmas,
+                                    prepare_first_level)
+
+    cfg = HesaffConfig()
+    rng = np.random.default_rng(0)
+    B, H, W = 3, 160, 200
+    imgs = rng.normal(128, 50, (B, H, W)).astype(np.float32)
+    for _ in range(4):
+        for ax in (-1, -2):
+            imgs = (np.roll(imgs, 1, ax) + imgs
+                    + np.roll(imgs, -1, ax)) / 3.0
+    imgs = jnp.asarray(imgs)
+    sig = level_sigmas(cfg)
+    first = jax.vmap(lambda im: prepare_first_level(im, cfg)[0])(imgs)
+    o = jax.vmap(lambda f: build_octave(f, 1.0, cfg))(first)
+
+    saved = detect._DETECT_DENSE
+    try:
+        detect._DETECT_DENSE = False
+        sp = jax.tree.map(np.asarray, detect.detect_octave_batch(
+            o.resps, o.blurs, sig, 1.0, cfg, octave=0))
+    finally:
+        detect._DETECT_DENSE = saved
+    dn = jax.tree.map(np.asarray, detect.detect_octave_batch_dense(
+        o.resps, o.blurs, sig, 1.0, cfg, octave=0))
+
+    assert sp["ok"].sum() > 200          # non-trivial scene
+    np.testing.assert_array_equal(sp["ok"], dn["ok"])
+    m = sp["ok"]
+    for k in ("level", "x", "y", "response", "type"):
+        np.testing.assert_array_equal(sp[k][m], dn[k][m])
+    np.testing.assert_allclose(sp["s"][m], dn["s"][m], rtol=1e-6)
+    assert int(sp["overflow"].sum()) == int(dn["overflow"].sum())
+    assert int(sp["n_cand"].sum()) == int(dn["n_cand"].sum())

@@ -72,7 +72,8 @@ def main(argv=None):
     ap.add_argument("--platform", default=None,
                     help="jax platform override (cpu for deterministic runs)")
     ap.add_argument("--kinds", nargs="*",
-                    default=["viewpoint", "zoomrot", "blur"])
+                    default=["viewpoint", "zoomrot", "blur", "illum",
+                             "jpeg"])
     ap.add_argument("--views", type=int, default=6)
     args = ap.parse_args(argv)
 

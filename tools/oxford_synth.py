@@ -10,6 +10,11 @@ base image plus five transformed views and VGG-format homography files
   * viewpoint — increasing perspective tilt (graf/wall analogue)
   * zoomrot   — increasing zoom-out + rotation (boat/bark analogue)
   * blur      — increasing Gaussian blur, H = identity (bikes/trees)
+  * illum     — decreasing exposure/contrast, H = identity (leuven)
+  * jpeg      — decreasing JPEG quality, H = identity (ubc); views are
+                re-encoded through a real JPEG codec (PIL) at the
+                benchmark's quality ladder, so blocking/ringing
+                artifacts are genuine
 
 Every view is synthesized by inverse-warping the base image through the
 EXACT homography that is written to disk, so protocol geometry is
@@ -103,7 +108,7 @@ def sequence_homographies(kind: str, w: int, h: int):
                 [s * np.sin(rot), s * np.cos(rot), 0.0],
                 [0.0, 0.0, 1.0],
             ])
-        elif kind == "blur":
+        elif kind in ("blur", "illum", "jpeg"):
             M = np.eye(3)
         else:
             raise ValueError(kind)
@@ -118,8 +123,29 @@ def write_ppm(path: str, rgb: np.ndarray) -> None:
         f.write(np.clip(rgb, 0, 255).astype(np.uint8).tobytes())
 
 
+# leuven-style exposure ladder (view 2..6 luminance scale) and
+# ubc-style JPEG quality ladder (the VGG sequence spans ~60%..2%)
+ILLUM_SCALES = (0.82, 0.66, 0.53, 0.42, 0.33)
+JPEG_QUALITIES = (60, 35, 20, 10, 5)
+
+
+def jpeg_roundtrip(rgb: np.ndarray, quality: int) -> np.ndarray:
+    """Encode/decode through a real JPEG codec at `quality`."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.clip(rgb, 0, 255).astype(np.uint8)).save(
+        buf, format="JPEG", quality=int(quality))
+    return np.asarray(
+        Image.open(io.BytesIO(buf.getvalue())).convert("RGB"),
+        np.float64)
+
+
 def build_sequences(outdir: str, width: int = 640, height: int = 480,
-                    kinds=("viewpoint", "zoomrot", "blur"),
+                    kinds=("viewpoint", "zoomrot", "blur", "illum",
+                           "jpeg"),
                     seed: int = 7):
     """Write <outdir>/<kind>/img{1..6}.ppm + H1to{k}p files.
 
@@ -145,6 +171,10 @@ def build_sequences(outdir: str, width: int = 640, height: int = 480,
             img = warp_image(base, Hk)
             if kind == "blur":
                 img = gaussian_blur_np(img, 0.8 * (k - 1))
+            elif kind == "illum":
+                img = img * ILLUM_SCALES[k - 2]
+            elif kind == "jpeg":
+                img = jpeg_roundtrip(img, JPEG_QUALITIES[k - 2])
             pk = os.path.join(d, f"img{k}.ppm")
             write_ppm(pk, img)
             hp = os.path.join(d, f"H1to{k}p")
