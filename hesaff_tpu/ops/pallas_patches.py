@@ -41,6 +41,18 @@ from hesaff_tpu.ops.pallas_util import round_up as _round_up
 
 _HI = jax.lax.Precision.HIGHEST
 
+# Fold the anti-alias blur into the subsample operator (round 5):
+# blur B and subsample S are both linear in the workspace, so
+# patch = S B ws B^T S^T = R ws R^T with R = S.B built per keypoint
+# directly from its taps — R[p, c'] = sum_t taps[t] *
+# hat(pos_p - c' - r + t) plus the replicate-boundary mass folded
+# into the edge columns (identical semantics to the shift-add blur's
+# clip: blurred[c] = sum_t taps[t] * ws[clip(c + t - r)]).  Kills the
+# 2*KMAX scratch-mediated shift-add passes over (bucket, bucket)
+# (~45 ms of the r4 batch) in favor of KMAX hat terms over
+# (P, bucket) and one extra MXU matmul.
+_FOLD = os.environ.get("HESAFF_PATCH_FOLD", "1") == "1"
+
 # cross-grid-step DMA double buffering (see pallas_util.dma_plumbing):
 # prefetch the next block's windows while this block computes.  Window
 # scratch doubles, so it engages only where the doubled footprint fits
@@ -343,6 +355,90 @@ def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
                 ws = ws_ref[0, 0, kb]
                 its = its_ref[0, 0, kb]
                 half = jnp.float32(ws >> 1)
+                if _FOLD and _PROFILE != "noblur":
+                    # folded epilogue: patch = R @ ws @ R^T
+                    ofs = jnp.float32(ws >> 1)
+                    wsm1f = jnp.float32(ws - 1)
+                    k_s = jax.lax.broadcasted_iota(
+                        jnp.int32, (P, 1), 0).astype(jnp.float32) - half_p
+                    pos = ofs + k_s * its               # (P, 1)
+                    iota_pb = jax.lax.broadcasted_iota(
+                        jnp.int32, (P, bucket), 1).astype(jnp.float32)
+                    k_t = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, P), 1).astype(jnp.float32) - half_p
+                    pos_t = ofs + k_t * its             # (1, P)
+                    iota_bp = jax.lax.broadcasted_iota(
+                        jnp.int32, (bucket, P), 0).astype(jnp.float32)
+                    iota_1b = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, bucket), 1).astype(jnp.float32)
+                    iota_b1 = jax.lax.broadcasted_iota(
+                        jnp.int32, (bucket, 1), 0).astype(jnp.float32)
+                    R = jnp.zeros((P, bucket), jnp.float32)
+                    RT = jnp.zeros((bucket, P), jnp.float32)
+                    CL = jnp.zeros((1, bucket), jnp.float32)
+                    CR = jnp.zeros((1, bucket), jnp.float32)
+                    for t in range(KMAX):
+                        tap = taps_ref[0, kb, t]
+                        off = jnp.float32(t - r_blur)
+                        R = R + tap * jnp.maximum(
+                            0.0, 1.0 - jnp.abs(iota_pb - (pos + off)))
+                        RT = RT + tap * jnp.maximum(
+                            0.0, 1.0 - jnp.abs(iota_bp - (pos_t + off)))
+                        # replicate-boundary mass: sources c with
+                        # c + t - r < 0 fold into column 0; sources
+                        # with c + t - r > ws - 1 fold into ws - 1
+                        CL = CL + tap * (iota_1b < -off).astype(
+                            jnp.float32)
+                        CR = CR + tap * (iota_1b > wsm1f - off).astype(
+                            jnp.float32)
+                    # true-workspace clip: columns beyond ws - 1 hold
+                    # replicated values whose mass belongs at ws - 1
+                    inside = (iota_pb <= wsm1f).astype(jnp.float32)
+                    R = R * inside
+                    RT = RT * (iota_bp <= wsm1f).astype(jnp.float32)
+                    S_hat = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(iota_pb - pos))  # (P, bucket)
+                    corr_l = jnp.sum(S_hat * CL, axis=1,
+                                     keepdims=True)          # (P, 1)
+                    corr_r = jnp.sum(S_hat * CR, axis=1,
+                                     keepdims=True)
+                    R = (R
+                         + corr_l * (iota_pb == 0.0
+                                     ).astype(jnp.float32)
+                         + corr_r * (iota_pb == wsm1f
+                                     ).astype(jnp.float32))
+                    # transposed-side corrections built in (bucket, P)
+                    # orientation directly (Mosaic cannot reshape
+                    # (P, 1) -> (1, P))
+                    ST_hat = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(iota_bp - pos_t))
+                    CL_c = jnp.zeros((bucket, 1), jnp.float32)
+                    CR_c = jnp.zeros((bucket, 1), jnp.float32)
+                    for t in range(KMAX):
+                        tap = taps_ref[0, kb, t]
+                        off = jnp.float32(t - r_blur)
+                        CL_c = CL_c + tap * (iota_b1 < -off).astype(
+                            jnp.float32)
+                        CR_c = CR_c + tap * (
+                            iota_b1 > wsm1f - off).astype(jnp.float32)
+                    corr_l_t = jnp.sum(ST_hat * CL_c, axis=0,
+                                       keepdims=True)        # (1, P)
+                    corr_r_t = jnp.sum(ST_hat * CR_c, axis=0,
+                                       keepdims=True)
+                    RT = (RT
+                          + (iota_bp == 0.0).astype(jnp.float32)
+                          * corr_l_t
+                          + (iota_bp == wsm1f).astype(jnp.float32)
+                          * corr_r_t)
+                    tpatch = jnp.dot(R, wsbuf[kb, 0:bucket, :],
+                                     preferred_element_type=jnp.float32,
+                                     precision=_HI)
+                    patch_ref[kb] = jnp.dot(
+                        tpatch, RT, preferred_element_type=jnp.float32,
+                        precision=_HI)
+                    bad_ref[0, 0, kb] = jnp.any(
+                        badacc[kb] > 0.5).astype(jnp.int32)
+                    return
                 # blur accumulates through scratch refs with STATIC
                 # slices (an unrolled KMAX-term value chain makes Mosaic
                 # materialize every term — 64 MB at bucket 385)
