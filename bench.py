@@ -249,6 +249,13 @@ def main():
                     help="skip the on-chip Pallas-vs-XLA parity gate "
                          "(default: a parity failure aborts before the "
                          "headline prints)")
+    ap.add_argument("--fast", action="store_true",
+                    help="FAST MODE (non-default config.FAST_CONFIG): "
+                         "looser Baumberg convergence + tighter "
+                         "iteration cap; accuracy delta in OXFORD.md. "
+                         "Emits a distinct metric name and skips the "
+                         "parity verify (fast mode is not the parity "
+                         "contract)")
     ap.add_argument("--probe-compute", action="store_true",
                     help="DIAGNOSTIC: drain batches with "
                          "block_until_ready only (no descriptor "
@@ -289,7 +296,12 @@ def main():
     # capacities sized so nothing overflows on the (keypoint-dense)
     # synthetic bench imagery — a defensible number processes every
     # keypoint the reference would
-    cfg = HesaffConfig(
+    import dataclasses as _dc
+
+    from hesaff_tpu.config import FAST_CONFIG
+    base = FAST_CONFIG if args.fast else HesaffConfig()
+    cfg = _dc.replace(
+        base,
         candidate_cap_max=8192,
         affine_cap_max=8192,
         candidate_cap_div=args.cand_div,
@@ -332,7 +344,7 @@ def main():
         on_tpu = False   # staged output is NOT valid-prefix compacted
     t_compile = time.perf_counter() - t0
 
-    if on_tpu and not args.no_verify:
+    if on_tpu and not args.no_verify and not args.fast:
         _verify_on_chip(images, cfg, out, args)
 
     if args.stages and on_tpu:
@@ -376,6 +388,8 @@ def main():
     # a --probe-compute number skips the descriptor download and must
     # not be mistaken for a genuine headline by JSON consumers
     metric = "hesaff_sift_descriptors_per_sec_per_chip"
+    if args.fast:
+        metric += "_fast_mode"
     if args.probe_compute:
         metric += "_compute_probe"
     print(json.dumps({

@@ -20,16 +20,21 @@ def _cmd_extract(args) -> int:
         jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
-    from hesaff_tpu.config import HesaffConfig
+    import dataclasses
+
+    from hesaff_tpu.config import FAST_CONFIG, HesaffConfig
     from hesaff_tpu.pipeline import extract
     from hesaff_tpu.sift_io import load_image_gray, write_sift_file
 
     # the reference driver plumbs threshold/max_iter/patch/mrSize
     # (/root/reference/hesaff.cpp:152-163); upscale is a PyramidParams
     # field (pyramid.h:34, default off)
-    cfg = HesaffConfig(
+    base = FAST_CONFIG if args.fast else HesaffConfig()
+    cfg = dataclasses.replace(
+        base,
         threshold=args.threshold,
-        max_iterations=args.max_iter,
+        max_iterations=(base.max_iterations if args.fast
+                        else args.max_iter),
         patch_size=args.patch_size,
         mr_size=args.mr_size,
         upscale_input=args.upscale,
@@ -263,6 +268,9 @@ def main(argv=None) -> int:
     pe.add_argument("--mr-size", type=float, default=3.0 * 3.0**0.5)
     pe.add_argument("--upscale", action="store_true",
                     help="2x upscale the input before the pyramid")
+    pe.add_argument("--fast", action="store_true",
+                    help="documented fast mode (config.FAST_CONFIG; "
+                         "accuracy delta in OXFORD.md)")
     pe.add_argument("--platform", default=None,
                     help="override jax platform (e.g. cpu)")
     pe.set_defaults(fn=_cmd_extract)

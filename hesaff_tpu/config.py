@@ -135,3 +135,16 @@ class HesaffConfig:
 
 DEFAULT_CONFIG = HesaffConfig()
 
+# Documented fast mode (NOT the default; the parity defaults above are
+# the compatibility contract).  Rounds 4-5 measured that cutting
+# arithmetic volume (smaller SMM windows, lower-precision sampling)
+# does NOT move the affine stage — it is bound by the per-iteration
+# serial overhead — so the only levers that buy real time are the ones
+# that cut ITERATIONS: a looser convergence threshold (keypoints stop
+# earlier) and a tighter iteration cap (stragglers, which bound the
+# packed loop, stop dominating).  Semantics change vs
+# /root/reference/affine.h:39-44; the accuracy delta is published next
+# to the speed number (OXFORD.md fast-mode table + PERF.md row).
+FAST_CONFIG = HesaffConfig(max_iterations=10,
+                           convergence_threshold=0.10)
+

@@ -75,6 +75,11 @@ def main(argv=None):
                     default=["viewpoint", "zoomrot", "blur", "illum",
                              "jpeg"])
     ap.add_argument("--views", type=int, default=6)
+    ap.add_argument("--fast", action="store_true",
+                    help="evaluate config.FAST_CONFIG for OUR detector "
+                         "and APPEND a fast-mode accuracy table to "
+                         "OXFORD.md (the parity table stays the main "
+                         "contract)")
     args = ap.parse_args(argv)
 
     import jax
@@ -84,10 +89,10 @@ def main(argv=None):
     sys.path.insert(0, os.path.join(REPO, "tools"))
     import oxford_synth
 
-    from hesaff_tpu.config import HesaffConfig
+    from hesaff_tpu.config import FAST_CONFIG, HesaffConfig
     from hesaff_tpu.evaluate import repeatability
 
-    cfg = HesaffConfig()
+    cfg = FAST_CONFIG if args.fast else HesaffConfig()
     seqs = oxford_synth.build_sequences(args.outdir, kinds=args.kinds)
     binpath = build_reference(args.outdir)
 
@@ -110,6 +115,39 @@ def main(argv=None):
                   f"ms={rr.matching_score:.3f} (n={rr.n1}/{rr.n2}) | "
                   f"ours rep={ro.repeatability:.3f} "
                   f"ms={ro.matching_score:.3f} (n={ro.n1}/{ro.n2})")
+
+    if args.fast:
+        lines = [
+            "",
+            "## Fast mode (config.FAST_CONFIG: max_iterations=10, "
+            "convergence_threshold=0.10)",
+            "",
+            "Same protocol, OUR detector in the documented fast mode "
+            "(NOT the parity contract; semantics differ from "
+            "/root/reference/affine.h:39-44).  Speed numbers: PERF.md "
+            "fast-mode row.",
+            "",
+            "| sequence | pair | ref rep | fast rep | ref match-score "
+            "| fast match-score | ref n1/n2 | fast n1/n2 |",
+            "|---|---|---|---|---|---|---|---|",
+        ]
+        for kind, k, rr, ro in rows:
+            lines.append(
+                f"| {kind} | 1-{k} | {rr.repeatability:.3f} "
+                f"| {ro.repeatability:.3f} | {rr.matching_score:.3f} "
+                f"| {ro.matching_score:.3f} | {rr.n1}/{rr.n2} "
+                f"| {ro.n1}/{ro.n2} |")
+        gaps = [rr.repeatability - ro.repeatability
+                for _, _, rr, ro in rows]
+        lines += [
+            "",
+            f"Mean rep delta vs reference: {np.mean(gaps):+.3f} "
+            f"(max {max(gaps):+.3f}).",
+        ]
+        with open(os.path.join(REPO, "OXFORD.md"), "a") as f:
+            f.write("\n".join(lines) + "\n")
+        print(f"appended fast-mode table to OXFORD.md ({len(rows)} pairs)")
+        return
 
     lines = [
         "# Oxford-Affine protocol: reference binary vs hesaff_tpu",
