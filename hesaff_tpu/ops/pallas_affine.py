@@ -91,7 +91,25 @@ _USE_ROLL = os.environ.get("HESAFF_AFFINE_NO_ROLL", "0") != "1"
 # keypoints).  The r4 attribution localized the affine cost in the
 # per-iteration serial op chain (~75% fixed overhead at (1, 1) state);
 # this amortizes exactly that term.
-_PACKED = os.environ.get("HESAFF_AFFINE_PACKED", "1") == "1"
+_PACKED = os.environ.get("HESAFF_AFFINE_PACKED", "0") == "1"
+
+# Iteration unrolling for the UNPACKED kernel: run K masked Baumberg
+# iterations per while_loop step, paying the per-iteration vector->
+# scalar cond sync once per K.  Unlike the KB-packed loop there is no
+# cross-keypoint coupling — each keypoint wastes at most K-1 masked
+# iterations (its own exit rounded up to K), not the pack maximum.
+_UNROLL = int(os.environ.get("HESAFF_AFFINE_UNROLL", "1"))
+
+# Transposed sample layout: put the 361 SMM sample points on LANES
+# instead of sublane rows.  The original kernel's per-sample math runs
+# on (N, 1) columns — 46 vregs at 1/128 lane utilization — and its
+# sampling matmul contracts over K=WINY=27 (a fifth of the MXU's
+# native depth).  Transposed, the coordinate math is (1, N) rows
+# (3 vregs), the hat operands are (WINY, N)/(XL, N), and the sampling
+# matmul becomes (WINY, XL) @ (XL, N) with K=128.  The KB-packed A/B
+# (lost, r5) localized the affine cost in per-iteration op issue, not
+# the loop sync — this attacks exactly that term.
+_TRANSPOSED = os.environ.get("HESAFF_AFFINE_T", "1") == "1"
 
 # cross-grid-step DMA double buffering: prefetch the NEXT block's
 # windows (scalars via a +1-shifted BlockSpec view of src/rb/cb/act)
@@ -150,16 +168,28 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int,
         start_cur(src_ref, rb_ref, cb_ref, act_ref)
         start_nxt()
 
-        # constant (N, 1) columns: sample index p -> (j, i) in the 19x19
-        # affine grid (broadcast against the lane iotas per one-hot)
-        p_col = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
-        jj = p_col // G
-        j_col = (jj - half).astype(jnp.float32)
-        i_col = (p_col - jj * G - half).astype(jnp.float32)
-        iota_y = jax.lax.broadcasted_iota(
-            jnp.int32, (N, WINY), 1).astype(jnp.float32)
-        iota_x = jax.lax.broadcasted_iota(
-            jnp.int32, (N, XL), 1).astype(jnp.float32)
+        if _TRANSPOSED:
+            # sample index p rides on LANES: coordinate math is (1, N)
+            # rows, hat operands (WINY, N)/(XL, N)
+            p_row = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+            jj = p_row // G
+            j_col = (jj - half).astype(jnp.float32)        # (1, N)
+            i_col = (p_row - jj * G - half).astype(jnp.float32)
+            iota_y = jax.lax.broadcasted_iota(
+                jnp.int32, (WINY, N), 0).astype(jnp.float32)
+            iota_x = jax.lax.broadcasted_iota(
+                jnp.int32, (XL, N), 0).astype(jnp.float32)
+        else:
+            # constant (N, 1) columns: sample index p -> (j, i) in the
+            # 19x19 affine grid (broadcast against the lane iotas)
+            p_col = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+            jj = p_col // G
+            j_col = (jj - half).astype(jnp.float32)
+            i_col = (p_col - jj * G - half).astype(jnp.float32)
+            iota_y = jax.lax.broadcasted_iota(
+                jnp.int32, (N, WINY), 1).astype(jnp.float32)
+            iota_x = jax.lax.broadcasted_iota(
+                jnp.int32, (N, XL), 1).astype(jnp.float32)
 
         for kb in range(KB):
             @pl.when(act_ref[0, 0, kb] != 0)
@@ -229,18 +259,19 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int,
                     (_, _, _, _, _, alive, _, _, _, it) = state
                     return jnp.any(alive != 0) & (it < cfg.max_iterations)
 
-                def body(state):
-                    (u11, u12, u21, u22, ratio_bef, alive_i, converged_i,
-                     conv_iter, violated_i, it) = state
-                    alive = alive_i != 0
-                    converged = converged_i != 0
-                    violated = violated_i != 0
+                def core(u11, u12, u21, u22, ratio_bef):
                     a11r = u11 * ratio_v
                     a12r = u12 * ratio_v
                     a21r = u21 * ratio_v
                     a22r = u22 * ratio_v
 
-                    # per-sample warp coordinates, (N, 1) columns
+                    def d(p, q):
+                        return jax.lax.dot_general(
+                            p, q, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+
+                    # per-sample warp coordinates: (1, N) rows in the
+                    # transposed layout, (N, 1) columns otherwise
                     wy = ly + i_col * a21r + j_col * a22r
                     wx = lx + i_col * a11r + j_col * a12r
                     y0f = jnp.floor(wy)
@@ -253,39 +284,59 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int,
                     validf = ((x0f >= 0) & (x0f < W - 1)
                               & (y0f >= 0)
                               & (y0f < H - 1)).astype(jnp.float32)
-                    # hat-identity bilinear one-hots over the lane iotas
-                    Ey = jnp.maximum(
-                        0.0, 1.0 - jnp.abs(iota_y - (wy - r8f)))
-                    Ex = jnp.maximum(
-                        0.0, 1.0 - jnp.abs(iota_x - (wx - corig))
-                    ) * validf
-                    # bf16x3 sampling matmul: near-f32 accuracy at
-                    # half the MXU passes of Mosaic's HIGHEST
-                    eh = Ey.astype(jnp.bfloat16)
-                    el = (Ey - eh.astype(jnp.float32)).astype(jnp.bfloat16)
-
-                    def d(p, q):
-                        return jax.lax.dot_general(
-                            p, q, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-
-                    t = d(eh, wh) + d(eh, wl) + d(el, wh)
-                    val = jnp.sum(t * Ex, axis=1, keepdims=True)  # (N, 1)
-                    # aj is 0/1: the (361,1)->(19,19) fold needs only a
-                    # 2-pass RHS-split matmul (each output has exactly
-                    # one nonzero term; ~2^-16 rel, same class as the
-                    # bf16x3 sampling) -- half HIGHEST's MXU passes
-                    img = dot_onehot_bf16x2(aj_ref[:], val * bi_ref[:])
+                    if _TRANSPOSED:
+                        # hats with the sample axis on lanes
+                        Eyt = jnp.maximum(
+                            0.0, 1.0 - jnp.abs(iota_y - (wy - r8f)))
+                        Ext = jnp.maximum(
+                            0.0, 1.0 - jnp.abs(iota_x - (wx - corig))
+                        ) * validf                       # (XL, N)
+                        exh = Ext.astype(jnp.bfloat16)
+                        exl = (Ext - exh.astype(jnp.float32)
+                               ).astype(jnp.bfloat16)
+                        # sampling matmul contracts over the FULL
+                        # 128-lane window axis (K=128 vs K=27)
+                        q = d(wh, exh) + d(wl, exh) + d(wh, exl)
+                        val = jnp.sum(Eyt * q, axis=0,
+                                      keepdims=True)     # (1, N)
+                        # fold via LHS split: AJ is 0/1, so AJ*val_hi
+                        # is exactly bf16-valued; same 2-pass class as
+                        # dot_onehot_bf16x2
+                        vh = val.astype(jnp.bfloat16)
+                        vl = val - vh.astype(jnp.float32)
+                        ajh = (aj_ref[:] * vh.astype(jnp.float32)
+                               ).astype(jnp.bfloat16)
+                        ajl = (aj_ref[:] * vl).astype(jnp.bfloat16)
+                        bib = bi_ref[:].astype(jnp.bfloat16)
+                        img = d(ajh, bib) + d(ajl, bib)
+                    else:
+                        # hat-identity bilinear one-hots over lane iotas
+                        Ey = jnp.maximum(
+                            0.0, 1.0 - jnp.abs(iota_y - (wy - r8f)))
+                        Ex = jnp.maximum(
+                            0.0, 1.0 - jnp.abs(iota_x - (wx - corig))
+                        ) * validf
+                        # bf16x3 sampling matmul: near-f32 accuracy at
+                        # half the MXU passes of Mosaic's HIGHEST
+                        eh = Ey.astype(jnp.bfloat16)
+                        el = (Ey - eh.astype(jnp.float32)
+                              ).astype(jnp.bfloat16)
+                        t = d(eh, wh) + d(eh, wl) + d(el, wh)
+                        val = jnp.sum(t * Ex, axis=1,
+                                      keepdims=True)     # (N, 1)
+                        # aj is 0/1: the (361,1)->(19,19) fold needs
+                        # only a 2-pass RHS-split matmul (each output
+                        # has exactly one nonzero term; ~2^-16 rel)
+                        img = dot_onehot_bf16x2(aj_ref[:],
+                                                val * bi_ref[:])
 
                     # out-of-window observability (sample inside image
                     # but outside the SEMANTIC window — matches the XLA
-                    # path; the DMA'd superset is strictly larger) — on
-                    # the same (N, 1) coordinate columns
+                    # path; the DMA'd superset is strictly larger)
                     ow = ((y0f - r0o < 0) | (y0f - r0o > WIN - 2)
                           | (x0f - c0o < 0) | (x0f - c0o > WIN - 2))
-                    violated = violated | (
-                        alive & jnp.any((validf > 0) & ow,
-                                        axis=0, keepdims=True))
+                    ow_any = jnp.any((validf > 0) & ow,
+                                     keepdims=True).reshape(1, 1)
 
                     # gradients: central diffs, one-sided at edges,
                     # NOT halved (affine.cpp:14-33)
@@ -319,7 +370,19 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int,
                     just_conv = ((ratio_act < cfg.convergence_threshold)
                                  & (ratio_bef < cfg.convergence_threshold)
                                  & ~aniso_bad)
+                    return (n11, n12, n21, n22, ratio_act, ow_any,
+                            aniso_bad, just_conv)
 
+                def body(state):
+                    (u11, u12, u21, u22, ratio_bef, alive_i, converged_i,
+                     conv_iter, violated_i, it) = state
+                    alive = alive_i != 0
+                    converged = converged_i != 0
+                    violated = violated_i != 0
+                    (n11, n12, n21, n22, ratio_act, ow_any,
+                     aniso_bad, just_conv) = core(
+                        u11, u12, u21, u22, ratio_bef)
+                    violated = violated | (alive & ow_any)
                     conv_iter = jnp.where(just_conv, it, conv_iter)
                     converged = converged | just_conv
                     alive = alive & ~aniso_bad & ~just_conv
@@ -329,6 +392,37 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int,
                             conv_iter,
                             violated.astype(jnp.int32), it + 1)
 
+                def body_unrolled(state):
+                    # K masked iterations per loop step: updates gate on
+                    # alive & (it < max) so overshoot past the budget or
+                    # a mid-block exit is a no-op (same freeze-select
+                    # numerics class as the packed kernel — threshold-
+                    # adjacency budget applies)
+                    for _ in range(_UNROLL):
+                        (u11, u12, u21, u22, ratio_bef, alive_i,
+                         converged_i, conv_iter, violated_i, it) = state
+                        alive = alive_i != 0
+                        converged = converged_i != 0
+                        violated = violated_i != 0
+                        gate = alive & (it < cfg.max_iterations)
+                        (n11, n12, n21, n22, ratio_act, ow_any,
+                         aniso_bad, just_conv) = core(
+                            u11, u12, u21, u22, ratio_bef)
+                        sel = lambda nv, ov, g=gate: jnp.where(g, nv, ov)
+                        violated = violated | (gate & ow_any)
+                        conv_iter = jnp.where(gate & just_conv, it,
+                                              conv_iter)
+                        converged = converged | (gate & just_conv)
+                        alive = alive & ~(gate & (aniso_bad | just_conv))
+                        i1 = lambda m: jnp.where(m, jnp.int32(1),
+                                                 jnp.int32(0))
+                        state = (sel(n11, u11), sel(n12, u12),
+                                 sel(n21, u21), sel(n22, u22),
+                                 sel(ratio_act, ratio_bef),
+                                 i1(alive), i1(converged), conv_iter,
+                                 i1(violated), it + 1)
+                    return state
+
                 one = jnp.ones((1, 1), jnp.float32)
                 zero = jnp.zeros((1, 1), jnp.float32)
                 init = (one, zero, zero, one, zero,
@@ -337,7 +431,8 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int,
                         jnp.zeros((1, 1), jnp.int32),
                         jnp.zeros((1, 1), jnp.int32), jnp.int32(0))
                 (u11, u12, u21, u22, _, _, converged, conv_iter,
-                 violated, _) = jax.lax.while_loop(cond, body, init)
+                 violated, _) = jax.lax.while_loop(
+                    cond, body_unrolled if _UNROLL > 1 else body, init)
                 ok_ref[0, 0, kb] = jnp.any(
                     (converged != 0) & (violated == 0)).astype(jnp.int32)
                 u11_ref[0, 0, kb] = jnp.sum(u11)
