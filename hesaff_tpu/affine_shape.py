@@ -106,8 +106,11 @@ def _adapt_one(blur_stack, src, x, y, s, pixel_distance,
             win, win, lx, ly,
             u11 * ratio, u12 * ratio, u21 * ratio, u22 * ratio,
         )
+        from hesaff_tpu.ops import pallas_affine as _pa
+
         img, _, oow = onehot_window_sample(
-            wnd, r0, c0, wy.reshape(-1), wx.reshape(-1), H, W
+            wnd, r0, c0, wy.reshape(-1), wx.reshape(-1), H, W,
+            quantize_x=_pa._TRANSPOSED,
         )
         # a sample inside the image but outside the local window would
         # silently read 0 and diverge from the reference — drop + flag

@@ -79,26 +79,20 @@ _USE_ROLL = os.environ.get("HESAFF_AFFINE_NO_ROLL", "0") != "1"
 # iterations and the phase recompaction cost more than the straggler
 # idling they saved.  Deleted per the sweep record in PERF.md.)
 
-# Sublane-packed variant (round 5): ONE while_loop advances all KB
-# keypoints of a block — per-keypoint sampling chains stay unrolled
-# (independent, so Mosaic can interleave them), but the loop condition,
-# scalar sync, and control overhead are paid once per KB keypoints
-# instead of once per keypoint, and the invSqrt/eigen/convergence tail
-# runs vectorized on (KB, 1) sublane stacks.  Differs from the deleted
-# lockstep in every way that lost: no phase recompaction, no driver
-# restructuring, KB-wide not capacity-wide (masked-iteration waste is
-# bounded by the iteration spread within 8 spatially-adjacent
-# keypoints).  The r4 attribution localized the affine cost in the
-# per-iteration serial op chain (~75% fixed overhead at (1, 1) state);
-# this amortizes exactly that term.
-_PACKED = os.environ.get("HESAFF_AFFINE_PACKED", "0") == "1"
-
-# Iteration unrolling for the UNPACKED kernel: run K masked Baumberg
-# iterations per while_loop step, paying the per-iteration vector->
-# scalar cond sync once per K.  Unlike the KB-packed loop there is no
-# cross-keypoint coupling — each keypoint wastes at most K-1 masked
-# iterations (its own exit rounded up to K), not the pack maximum.
-_UNROLL = int(os.environ.get("HESAFF_AFFINE_UNROLL", "1"))
+# (TWO loop-amortization variants were built and measured on chip in
+# round 5 and BOTH LOST — the affine stage is op-issue-bound, not
+# sync-bound:
+#  * KB-packed loop (one while_loop advancing 8 keypoints with masked
+#    freezes): 53.8k vs 58.3k desc/s — straggler iterations in a pack
+#    cost more than the shared cond sync saves.  A sublane-stacked
+#    (KB, 1) state variant additionally collided with Mosaic's sublane
+#    concat/slice emulation.
+#  * K-wide iteration unrolling of the per-keypoint loop (sync paid
+#    once per K masked iterations, no cross-keypoint coupling):
+#    unroll4 71.2k vs 75.4k — the masked-iteration waste again beat
+#    the sync saving.
+# Both deleted per the sweep record in PERF.md r5; what DID win is the
+# transposed sample layout below.)
 
 # Transposed sample layout: put the 361 SMM sample points on LANES
 # instead of sublane rows.  The original kernel's per-sample math runs
@@ -392,37 +386,6 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int,
                             conv_iter,
                             violated.astype(jnp.int32), it + 1)
 
-                def body_unrolled(state):
-                    # K masked iterations per loop step: updates gate on
-                    # alive & (it < max) so overshoot past the budget or
-                    # a mid-block exit is a no-op (same freeze-select
-                    # numerics class as the packed kernel — threshold-
-                    # adjacency budget applies)
-                    for _ in range(_UNROLL):
-                        (u11, u12, u21, u22, ratio_bef, alive_i,
-                         converged_i, conv_iter, violated_i, it) = state
-                        alive = alive_i != 0
-                        converged = converged_i != 0
-                        violated = violated_i != 0
-                        gate = alive & (it < cfg.max_iterations)
-                        (n11, n12, n21, n22, ratio_act, ow_any,
-                         aniso_bad, just_conv) = core(
-                            u11, u12, u21, u22, ratio_bef)
-                        sel = lambda nv, ov, g=gate: jnp.where(g, nv, ov)
-                        violated = violated | (gate & ow_any)
-                        conv_iter = jnp.where(gate & just_conv, it,
-                                              conv_iter)
-                        converged = converged | (gate & just_conv)
-                        alive = alive & ~(gate & (aniso_bad | just_conv))
-                        i1 = lambda m: jnp.where(m, jnp.int32(1),
-                                                 jnp.int32(0))
-                        state = (sel(n11, u11), sel(n12, u12),
-                                 sel(n21, u21), sel(n22, u22),
-                                 sel(ratio_act, ratio_bef),
-                                 i1(alive), i1(converged), conv_iter,
-                                 i1(violated), it + 1)
-                    return state
-
                 one = jnp.ones((1, 1), jnp.float32)
                 zero = jnp.zeros((1, 1), jnp.float32)
                 init = (one, zero, zero, one, zero,
@@ -431,8 +394,7 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int,
                         jnp.zeros((1, 1), jnp.int32),
                         jnp.zeros((1, 1), jnp.int32), jnp.int32(0))
                 (u11, u12, u21, u22, _, _, converged, conv_iter,
-                 violated, _) = jax.lax.while_loop(
-                    cond, body_unrolled if _UNROLL > 1 else body, init)
+                 violated, _) = jax.lax.while_loop(cond, body, init)
                 ok_ref[0, 0, kb] = jnp.any(
                     (converged != 0) & (violated == 0)).astype(jnp.int32)
                 u11_ref[0, 0, kb] = jnp.sum(u11)
@@ -443,255 +405,6 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int,
 
             @pl.when(act_ref[0, 0, kb] == 0)
             def _():
-                ok_ref[0, 0, kb] = 0
-                u11_ref[0, 0, kb] = 0.0
-                u12_ref[0, 0, kb] = 0.0
-                u21_ref[0, 0, kb] = 0.0
-                u22_ref[0, 0, kb] = 0.0
-                iters_ref[0, 0, kb] = 0
-
-    return kernel
-
-
-def _make_packed_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig,
-                        KB: int, pipe: bool = False):
-    """Multi-keypoint-loop twin of _make_kernel: ONE while_loop per
-    KB-block, carrying each keypoint's state as its own (1, 1) tuple.
-
-    Identical per-keypoint arithmetic and decision chain (same hat
-    one-hots, bf16x3 sampling, fold, SMM, invSqrt/eigen thresholds —
-    affine.cpp:35-100 semantics); only the loop structure differs: the
-    loop condition (the per-iteration vector->scalar sync, the
-    dominant serial cost at (1, 1) state per the r4 attribution) is
-    paid once per KB keypoints, and the KB independent per-keypoint
-    chains give Mosaic ILP to hide op latencies.  A keypoint that
-    converges/diverges keeps iterating (masked: its state freezes via
-    jnp.where) until the whole block finishes, so the block's
-    iteration bound is max over its KB keypoints — amortization wins
-    as long as iteration counts correlate within spatially-adjacent
-    packs (the flat keypoint stream is compacted in (image, level,
-    raster) order).  A first attempt stacked the states into (KB, 1)
-    sublane vectors instead: Mosaic's sublane concat/slice emulation
-    both miscompiled the decision tail (U p99.5 0.083 on chip) and ran
-    27% SLOWER than unpacked (43.0k vs 58.5k compute probe) — the
-    tuple form keeps every op in the exact shape the unpacked kernel
-    compiles well.
-    """
-    G = cfg.smm_window_size          # 19
-    N = G * G                        # 361
-    half = G >> 1
-    mask_pixels = float(N)
-    WINY, WINX = aligned_window(WIN)
-    XL = _round_up(WIN, 128)
-
-    def kernel(*refs):
-        (src_ref, rb_ref, cb_ref, act_ref, lx_ref, ly_ref, ratio_ref,
-         *rest) = refs
-        next_scalars = None
-        if pipe:
-            next_scalars, rest = tuple(rest[:4]), rest[4:]
-        (stack_ref, mask_ref, aj_ref, bi_ref,
-         ok_ref, u11_ref, u12_ref, u21_ref, u22_ref, iters_ref,
-         wnd, sems) = rest
-        start_cur, start_nxt, wait_cur, window_of = _dma_plumbing(
-            stack_ref, wnd, sems, WINY, WINX, pipe, KB, next_scalars)
-
-        start_cur(src_ref, rb_ref, cb_ref, act_ref)
-        start_nxt()
-
-        p_col = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
-        jj = p_col // G
-        j_col = (jj - half).astype(jnp.float32)
-        i_col = (p_col - jj * G - half).astype(jnp.float32)
-        iota_y = jax.lax.broadcasted_iota(
-            jnp.int32, (N, WINY), 1).astype(jnp.float32)
-        iota_x = jax.lax.broadcasted_iota(
-            jnp.int32, (N, XL), 1).astype(jnp.float32)
-
-        # ---- per-keypoint prologue: DMA wait + roll + bf16 split ----
-        # (inactive slots never started a DMA; their window bytes are
-        # whatever the scratch holds — harmless, every consumer below
-        # is masked by alive=0 selects)
-        whs, wls = [], []
-        kscal = []                   # (lx, ly, r8f, corig, r0o, c0o)
-        ratio_parts, act_parts = [], []
-        for kb in range(KB):
-            @pl.when(act_ref[0, 0, kb] != 0)
-            def _(kb=kb):
-                wait_cur(kb, src_ref, rb_ref, cb_ref)
-            lx = lx_ref[0, 0, kb]
-            ly = ly_ref[0, 0, kb]
-            r8f = jnp.float32(rb_ref[0, 0, kb] * 8)
-            r0o = jnp.float32(jnp.clip(
-                ly.astype(jnp.int32) - WIN // 2, 0, H - WIN))
-            c0i = jnp.clip(lx.astype(jnp.int32) - WIN // 2, 0, W - WIN)
-            c0o = jnp.float32(c0i)
-            shift = jnp.minimum(c0i - cb_ref[0, 0, kb] * 128,
-                                WINX - XL)
-            if _USE_ROLL:
-                wr = pltpu.roll(window_of(kb), -shift, axis=1)[:, :XL]
-            else:
-                sel = (jax.lax.broadcasted_iota(
-                           jnp.int32, (WINX, XL), 0)
-                       == jax.lax.broadcasted_iota(
-                           jnp.int32, (WINX, XL), 1) + shift
-                       ).astype(jnp.float32)
-                wr = jnp.dot(window_of(kb), sel,
-                             preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
-            corig = jnp.float32(cb_ref[0, 0, kb] * 128 + shift)
-            wh = wr.astype(jnp.bfloat16)
-            wl = (wr - wh.astype(jnp.float32)).astype(jnp.bfloat16)
-            whs.append(wh)
-            wls.append(wl)
-            kscal.append((lx, ly, r8f, corig, r0o, c0o))
-            ratio_parts.append(jnp.full((1, 1), ratio_ref[0, 0, kb]))
-            act_parts.append(jnp.full((1, 1), act_ref[0, 0, kb],
-                                      jnp.int32))
-
-        if _PROFILE == "prologue":
-            for kb in range(KB):
-                ok_ref[0, 0, kb] = (
-                    jnp.sum(whs[kb].astype(jnp.float32))
-                    + jnp.sum(wls[kb].astype(jnp.float32)) > 1e30
-                ).astype(jnp.int32)
-                u11_ref[0, 0, kb] = 0.0
-                u12_ref[0, 0, kb] = 0.0
-                u21_ref[0, 0, kb] = 0.0
-                u22_ref[0, 0, kb] = 0.0
-                iters_ref[0, 0, kb] = 0
-            return
-
-        def cond(state):
-            it = state[0]
-            alive_sum = state[1][5]
-            for kb in range(1, KB):
-                alive_sum = alive_sum + state[1 + kb][5]
-            return jnp.any(alive_sum != 0) & (it < cfg.max_iterations)
-
-        def body(state):
-            it = state[0]
-
-            def d(p, q):
-                return jax.lax.dot_general(
-                    p, q, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-
-            new_states = []
-            for kb in range(KB):
-                (u11, u12, u21, u22, ratio_bef, alive_i, converged_i,
-                 conv_iter, violated_i) = state[1 + kb]
-                alive = alive_i != 0
-                converged = converged_i != 0
-                violated = violated_i != 0
-                lx, ly, r8f, corig, r0o, c0o = kscal[kb]
-                ratio_v = ratio_parts[kb]
-                a11r = u11 * ratio_v
-                a12r = u12 * ratio_v
-                a21r = u21 * ratio_v
-                a22r = u22 * ratio_v
-
-                wy = ly + i_col * a21r + j_col * a22r   # (N, 1)
-                wx = lx + i_col * a11r + j_col * a12r
-                y0f = jnp.floor(wy)
-                x0f = jnp.floor(wx)
-                validf = ((x0f >= 0) & (x0f < W - 1)
-                          & (y0f >= 0)
-                          & (y0f < H - 1)).astype(jnp.float32)
-                Ey = jnp.maximum(
-                    0.0, 1.0 - jnp.abs(iota_y - (wy - r8f)))
-                Ex = jnp.maximum(
-                    0.0, 1.0 - jnp.abs(iota_x - (wx - corig))
-                ) * validf
-                eh = Ey.astype(jnp.bfloat16)
-                el = (Ey - eh.astype(jnp.float32)).astype(jnp.bfloat16)
-
-                t = d(eh, whs[kb]) + d(eh, wls[kb]) + d(el, whs[kb])
-                val = jnp.sum(t * Ex, axis=1, keepdims=True)  # (N, 1)
-                img = dot_onehot_bf16x2(aj_ref[:], val * bi_ref[:])
-
-                ow = ((y0f - r0o < 0) | (y0f - r0o > WIN - 2)
-                      | (x0f - c0o < 0) | (x0f - c0o > WIN - 2))
-                violated = violated | (
-                    alive & jnp.any((validf > 0) & ow,
-                                    axis=0, keepdims=True))
-
-                gx = jnp.concatenate(
-                    [img[:, 1:2] - img[:, 0:1],
-                     img[:, 2:] - img[:, :-2],
-                     img[:, -1:] - img[:, -2:-1]], axis=1)
-                gy = jnp.concatenate(
-                    [img[1:2, :] - img[0:1, :],
-                     img[2:, :] - img[:-2, :],
-                     img[-1:, :] - img[-2:-1, :]], axis=0)
-                msk = mask_ref[:]
-                sum11 = lambda z: jnp.sum(z, axis=(0, 1),
-                                          keepdims=True)
-                a = sum11(gx * gx * msk) / mask_pixels
-                b = sum11(gx * gy * msk) / mask_pixels
-                c = sum11(gy * gy * msk) / mask_pixels
-
-                ia, ib, ic, il1, il2 = inv_sqrt_2x2(a, b, c)
-                ratio_act = 1.0 - il2 / il1
-
-                n11 = ia * u11 + ib * u21
-                n12 = ia * u12 + ib * u22
-                n21 = ib * u11 + ic * u21
-                n22 = ib * u12 + ic * u22
-
-                l1, l2, is_real = eigenvalues_2x2(n11, n12, n21, n22)
-                aniso_bad = ((~is_real)
-                             | (l1 / l2 > cfg.anisotropy_max)
-                             | (l2 / l1 > cfg.anisotropy_max))
-                just_conv = ((ratio_act < cfg.convergence_threshold)
-                             & (ratio_bef < cfg.convergence_threshold)
-                             & ~aniso_bad)
-
-                # freeze finished keypoints: updates masked by start-
-                # of-iteration alive (the unpacked loop's body simply
-                # stops executing once its keypoint exits; here the
-                # pack keeps looping until all KB exit).  just_conv/
-                # aniso from a frozen keypoint's stale state must not
-                # re-fire, hence every flag update carries the alive
-                # mask the unpacked control flow provided implicitly.
-                sel = lambda nv, ov: jnp.where(alive, nv, ov)
-                i1 = lambda m: jnp.where(m, jnp.int32(1), jnp.int32(0))
-                conv_iter = jnp.where(alive & just_conv, it, conv_iter)
-                converged = converged | (alive & just_conv)
-                alive = alive & ~aniso_bad & ~just_conv
-                new_states.append((
-                    sel(n11, u11), sel(n12, u12),
-                    sel(n21, u21), sel(n22, u22),
-                    sel(ratio_act, ratio_bef),
-                    i1(alive), i1(converged), conv_iter, i1(violated)))
-            return (it + 1, *new_states)
-
-        one = jnp.ones((1, 1), jnp.float32)
-        zero = jnp.zeros((1, 1), jnp.float32)
-        izero = jnp.zeros((1, 1), jnp.int32)
-        init = (jnp.int32(0),) + tuple(
-            (one, zero, zero, one, zero, act_parts[kb], izero, izero,
-             izero)
-            for kb in range(KB))
-        final = jax.lax.while_loop(cond, body, init)
-        for kb in range(KB):
-            (u11, u12, u21, u22, _, _, converged, conv_iter,
-             violated) = final[1 + kb]
-
-            @pl.when(act_ref[0, 0, kb] != 0)
-            def _(kb=kb, u11=u11, u12=u12, u21=u21, u22=u22,
-                  converged=converged, conv_iter=conv_iter,
-                  violated=violated):
-                ok_ref[0, 0, kb] = jnp.any(
-                    (converged != 0) & (violated == 0)).astype(jnp.int32)
-                u11_ref[0, 0, kb] = jnp.sum(u11)
-                u12_ref[0, 0, kb] = jnp.sum(u12)
-                u21_ref[0, 0, kb] = jnp.sum(u21)
-                u22_ref[0, 0, kb] = jnp.sum(u22)
-                iters_ref[0, 0, kb] = jnp.sum(conv_iter)
-
-            @pl.when(act_ref[0, 0, kb] == 0)
-            def _(kb=kb):
                 ok_ref[0, 0, kb] = 0
                 u11_ref[0, 0, kb] = 0.0
                 u12_ref[0, 0, kb] = 0.0
@@ -720,8 +433,7 @@ def _call_kernel(stack, src, rb, cb, act, lx, ly, ratio, win, H, W,
     # fits the measured scoped-VMEM budget (an HESAFF_AFFINE_KB raise
     # must degrade to single-buffering, not fail to compile)
     pipe = _DMA_PIPE and 2 * _KB * WINY * WINX * 4 <= 14_500_000
-    make = _make_packed_kernel if _PACKED else _make_kernel
-    kernel = make(win, H, W, cfg, _KB, pipe=pipe)
+    kernel = _make_kernel(win, H, W, cfg, _KB, pipe=pipe)
     n_out = 6
     nsteps = K // _KB
     grid = (nsteps,)

@@ -318,6 +318,23 @@ def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
         # decision per tier); fall back to the full-WY loop otherwise
         tiers = sorted({t for t in (LYN, LY) if t <= LY})
         nR = bucketR // R
+        if _FOLD:
+            # workspace rows >= ws replicate row ws-1 (the warp clamps
+            # eff) and the folded R is ws-clipped, so rows beyond the
+            # block's max true workspace are never read — bound the row
+            # loops by the real extent (avg ~15-20% bucket slack).
+            # They must still be FINITE for the R matmul (0*NaN = NaN):
+            # zero-fill the buffer once, then let the loop overwrite
+            # the live rows.
+            wsbuf[:] = jnp.zeros((KB, bucketR, bucket), jnp.float32)
+            maxws = ws_ref[0, 0, 0]
+            for kb in range(1, KB):
+                maxws = jnp.maximum(maxws, ws_ref[0, 0, kb])
+            n_rows_fast = (maxws + (R - 1)) // R
+            n_rows_full = maxws
+        else:
+            n_rows_fast = nR
+            n_rows_full = bucket
         if _PROFILE == "xonly":
             # profiling cut: only the DMA + x-pass ran; emit dummies
             for kb in range(KB):
@@ -338,11 +355,12 @@ def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
         def cascade(i):
             if i == len(tiers):
                 return lambda: jax.lax.fori_loop(
-                    0, bucket, row_full, jnp.int32(0))
+                    0, n_rows_full, row_full, jnp.int32(0))
             return lambda: jax.lax.cond(
                 oks[i],
                 lambda: jax.lax.fori_loop(
-                    0, nR, make_row_fast(tiers[i]), jnp.int32(0)),
+                    0, n_rows_fast, make_row_fast(tiers[i]),
+                    jnp.int32(0)),
                 cascade(i + 1),
             )
 

@@ -93,7 +93,8 @@ def extract_window(stack: jnp.ndarray, src, cy, cx, win: int):
 
 
 def onehot_window_sample(window: jnp.ndarray, r0, c0, wy: jnp.ndarray,
-                         wx: jnp.ndarray, img_h: int, img_w: int):
+                         wx: jnp.ndarray, img_h: int, img_w: int,
+                         quantize_x: bool = False):
     """Gather-free bilinear sampling against a local window.
 
     TPU XLA gathers run ~20 Msamples/s (measured) — orders of magnitude
@@ -134,10 +135,22 @@ def onehot_window_sample(window: jnp.ndarray, r0, c0, wy: jnp.ndarray,
     # HIGH precision (bf16x3 on TPU, ~f32 accurate): plain DEFAULT would
     # run single-pass bf16 (~4e-3 relative error on 0..255 pixel values)
     # and break oracle parity on threshold decisions; HIGHEST (bf16x6)
-    # costs 2x for no measurable parity gain
-    t = jnp.dot(Ey, window, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGH)
-    val = jnp.sum(t * Ex, axis=1)
+    # costs 2x for no measurable parity gain.
+    # quantize_x selects WHICH operand pair rides the quantized matmul:
+    # (Ey, window) legacy, or (window, Ex) — matching the transposed
+    # Pallas affine kernel's structure so the on-chip parity gate stays
+    # bit-tight (the Baumberg tail amplifies any rounding-layout change
+    # into an oracle-class ~1e-2 U tail; see pallas_affine module doc)
+    if quantize_x:
+        q = jax.lax.dot_general(
+            window, Ex, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGH)       # (win, N)
+        val = jnp.sum(Ey * q.T, axis=1)
+    else:
+        t = jnp.dot(Ey, window, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGH)
+        val = jnp.sum(t * Ex, axis=1)
     oow = valid & (
         (dy[:, 0] < 0) | (dy[:, 0] > win - 2)
         | (dx[:, 0] < 0) | (dx[:, 0] > win - 2)

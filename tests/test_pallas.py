@@ -94,35 +94,20 @@ def _assert_affine_parity(ref, out, act, budget: float = 0.02,
     mm = np.zeros_like(m)
     mm[m] = it_r == it_o
     if u_atol is None:
-        # the packed loop's freeze-selects shift XLA fusion choices by
-        # ~1 ulp/iteration, which near-isotropic windows amplify into
-        # U (pallas_affine packed-kernel numerics note); its interpret-
-        # mode gate is therefore the oracle-class 0.02, while the
-        # unpacked kernel matches the XLA twin to ~1e-5
-        from hesaff_tpu.ops import pallas_affine as _pa
-        u_atol = 2e-2 if _pa._PACKED else 5e-5
+        u_atol = 5e-5
     for f in ("u11", "u12", "u21", "u22"):
         np.testing.assert_allclose(np.asarray(getattr(ref, f))[mm],
                                    np.asarray(getattr(out, f))[mm],
                                    rtol=1e-4, atol=u_atol)
 
 
-import pytest
-
-
-@pytest.mark.parametrize("packed", [True, False])
-def test_pallas_affine_matches_xla(packed):
+def test_pallas_affine_matches_xla():
     """Fused affine-adaptation kernel (interpret) matches the XLA path —
     including image-border zeroing, early exit, convergence iteration
-    counts, and padding-slot handling — in BOTH loop structures (the
-    KB-packed default and the per-keypoint unpacked twin).  ok/iters
-    carry the documented threshold-adjacency budget
-    (_assert_affine_parity); U tolerance is per-path (see helper)."""
-    import jax
-
+    counts, and padding-slot handling.  ok/iters carry the documented
+    threshold-adjacency budget (_assert_affine_parity)."""
     from hesaff_tpu.affine_shape import adapt_flat
     from hesaff_tpu.config import HesaffConfig
-    from hesaff_tpu.ops import pallas_affine as pa
     from hesaff_tpu.ops.pallas_affine import adapt_flat_pallas
 
     cfg = HesaffConfig()
@@ -138,16 +123,9 @@ def test_pallas_affine_matches_xla(packed):
     active = jnp.asarray(rng.uniform(size=K) > 0.2)
 
     ref = adapt_flat(stacks, img_idx, src, x, y, s, 1.0, cfg, active=active)
-    saved = pa._PACKED
-    try:
-        pa._PACKED = packed
-        jax.clear_caches()
-        out = adapt_flat_pallas(stacks, img_idx, src, x, y, s, 1.0, cfg,
-                                active=active, interpret=True)
-        _assert_affine_parity(ref, out, active)
-    finally:
-        pa._PACKED = saved
-        jax.clear_caches()
+    out = adapt_flat_pallas(stacks, img_idx, src, x, y, s, 1.0, cfg,
+                            active=active, interpret=True)
+    _assert_affine_parity(ref, out, active)
 
 
 def test_pallas_affine_dma_pipeline_matches_xla():
