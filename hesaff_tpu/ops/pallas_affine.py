@@ -282,9 +282,15 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int,
                         # hats with the sample axis on lanes
                         Eyt = jnp.maximum(
                             0.0, 1.0 - jnp.abs(iota_y - (wy - r8f)))
+                        # fold the OOB mask into the hat ARGUMENT: an
+                        # invalid sample's coordinate moves far outside
+                        # the window, so its hat column is exactly zero
+                        # — masking the (1, N) row costs 3 vregs vs 48
+                        # for multiplying the (XL, N) operand
+                        wxm = jnp.where(validf > 0, wx - corig,
+                                        jnp.float32(-1e6))
                         Ext = jnp.maximum(
-                            0.0, 1.0 - jnp.abs(iota_x - (wx - corig))
-                        ) * validf                       # (XL, N)
+                            0.0, 1.0 - jnp.abs(iota_x - wxm))  # (XL, N)
                         exh = Ext.astype(jnp.bfloat16)
                         exl = (Ext - exh.astype(jnp.float32)
                                ).astype(jnp.bfloat16)
