@@ -678,7 +678,10 @@ def detect_octave_batch(resps, blurs, sig, pd: float, cfg: HesaffConfig,
     Returns the dict of (B, acap) fields that batch.detect_affine_batch
     consumes (ok/level/x/y/s/response/type + overflow/n_cand per image).
     """
-    if _DETECT_DENSE:
+    if _DETECT_DENSE and resps.shape[-2] * resps.shape[-1] < (1 << 23):
+        # the packed walk channel carries cell + accept bit as exact
+        # f32 integers; images at/over 2^23 px (~4k x 2k) keep the
+        # sparse path
         return detect_octave_batch_dense(resps, blurs, sig, pd, cfg,
                                          octave=octave,
                                          valid_hw=valid_hw)
