@@ -282,21 +282,27 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int,
                         # hats with the sample axis on lanes
                         Eyt = jnp.maximum(
                             0.0, 1.0 - jnp.abs(iota_y - (wy - r8f)))
-                        # fold the OOB mask into the hat ARGUMENT: an
-                        # invalid sample's coordinate moves far outside
-                        # the window, so its hat column is exactly zero
-                        # — masking the (1, N) row costs 3 vregs vs 48
-                        # for multiplying the (XL, N) operand
-                        wxm = jnp.where(validf > 0, wx - corig,
+                        # x side: EXACT one-hot column selection + f32
+                        # fractional blend.  The bilinear hat factors as
+                        # (1-fx) d_x0 + fx d_x0+1; selecting w's columns
+                        # with exact 0/1 one-hots (2 bf16 passes each —
+                        # the split rides on the precomputed wh/wl) and
+                        # blending in f32 replaces the per-iteration
+                        # f32 hat build + bf16 split of the (XL, N)
+                        # operand, and is MORE accurate (only w's own
+                        # 2^-16 split error remains).  OOB mask folds
+                        # into the (1, N) coordinate: a far coordinate
+                        # zeroes both one-hot columns exactly.
+                        x0m = jnp.where(validf > 0, x0f - corig,
                                         jnp.float32(-1e6))
-                        Ext = jnp.maximum(
-                            0.0, 1.0 - jnp.abs(iota_x - wxm))  # (XL, N)
-                        exh = Ext.astype(jnp.bfloat16)
-                        exl = (Ext - exh.astype(jnp.float32)
-                               ).astype(jnp.bfloat16)
-                        # sampling matmul contracts over the FULL
-                        # 128-lane window axis (K=128 vs K=27)
-                        q = d(wh, exh) + d(wl, exh) + d(wh, exl)
+                        fx = wx - x0f                    # (1, N) exact
+                        X0 = jnp.where(iota_x == x0m, 1.0, 0.0
+                                       ).astype(jnp.bfloat16)
+                        X1 = jnp.where(iota_x == x0m + 1.0, 1.0, 0.0
+                                       ).astype(jnp.bfloat16)
+                        q0 = d(wh, X0) + d(wl, X0)       # (WINY, N)
+                        q1 = d(wh, X1) + d(wl, X1)
+                        q = q0 * (1.0 - fx) + q1 * fx
                         val = jnp.sum(Eyt * q, axis=0,
                                       keepdims=True)     # (1, N)
                         # fold via LHS split: AJ is 0/1, so AJ*val_hi

@@ -142,10 +142,20 @@ def onehot_window_sample(window: jnp.ndarray, r0, c0, wy: jnp.ndarray,
     # bit-tight (the Baumberg tail amplifies any rounding-layout change
     # into an oracle-class ~1e-2 U tail; see pallas_affine module doc)
     if quantize_x:
-        q = jax.lax.dot_general(
-            window, Ex, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGH)       # (win, N)
+        # exact one-hot column selection + f32 fractional blend —
+        # structurally identical to the transposed Pallas kernel's x
+        # side (HIGH's bf16x3 of a 0/1 operand reduces to the same
+        # 2-pass window split), keeping the on-chip gate bit-tight
+        X0 = (ex == 0).astype(jnp.float32)          # (N, win)
+        X1 = (ex == 1).astype(jnp.float32)
+        hi = jax.lax.Precision.HIGH
+        q0 = jax.lax.dot_general(
+            window, X0, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi)
+        q1 = jax.lax.dot_general(
+            window, X1, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi)
+        q = q0 * (1.0 - fx)[None, :] + q1 * fx[None, :]   # (win, N)
         val = jnp.sum(Ey * q.T, axis=1)
     else:
         t = jnp.dot(Ey, window, preferred_element_type=jnp.float32,
