@@ -72,3 +72,32 @@ def test_nonconverging_on_flat_window():
     r = adapt_level(blur, jnp.asarray([32.0]), jnp.asarray([32.0]),
                     jnp.asarray([2.0]), 1.0, CFG)
     assert not bool(r.ok[0])
+
+
+def test_onehot_window_sample_orientations_agree():
+    """The two quantization orientations of the twin sampler
+    (quantize_x selection-blend vs legacy Ey-matmul) compute the same
+    bilinear interpolation — on CPU (f32) they must agree to float
+    reassociation level and flag the same OOB/out-of-window samples."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hesaff_tpu.ops.warp import onehot_window_sample
+
+    rng = np.random.default_rng(11)
+    H = W = 64
+    win = 32
+    window = jnp.asarray(rng.normal(128, 40, (win, win)).astype(np.float32))
+    r0 = jnp.int32(10)
+    c0 = jnp.int32(12)
+    N = 200
+    wy = jnp.asarray(rng.uniform(8, 45, N).astype(np.float32))
+    wx = jnp.asarray(rng.uniform(10, 47, N).astype(np.float32))
+    a = onehot_window_sample(window, r0, c0, wy, wx, H, W,
+                             quantize_x=False)
+    b = onehot_window_sample(window, r0, c0, wy, wx, H, W,
+                             quantize_x=True)
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                               rtol=2e-6, atol=2e-4)
+    assert bool(a[1]) == bool(b[1])
+    assert bool(a[2]) == bool(b[2])
