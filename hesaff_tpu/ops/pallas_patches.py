@@ -144,8 +144,9 @@ def _narrow_band(bucket: int, LY: int) -> int:
     return min(LY, _round_up(max(40, bucket // 3), 8))
 
 
-_ROWS = 4   # output rows per y-pass iteration (amortizes the scalar-
-            # core band selection and the loop overhead)
+# output rows per y-pass iteration (amortizes the scalar-core band
+# selection and the loop overhead); env-tunable for on-chip sweeps
+_ROWS = int(os.environ.get("HESAFF_PATCH_ROWS", "4"))
 
 
 def _make_kernel(bucket: int, WY: int, WX: int, KMAX: int, LY: int,
