@@ -594,9 +594,31 @@ def detect_octave_batch_dense(resps, blurs, sig, pd: float,
     HW = H * W
     acap = cfg.affine_capacity(H, W, octave)
 
+    # fully-fused per-level kernel (NMS + maps + walk in one VMEM
+    # pass) when available; valid_hw keeps the XLA walk (the traced
+    # per-image scan tightening stays outside the kernel)
+    use_fused_walk = (_DETECT_PALLAS and cfg.use_pallas
+                      and valid_hw is None
+                      and jax.default_backend() == "tpu")
+    if use_fused_walk:
+        from hesaff_tpu.ops.pallas_detect import detect_walk_fits
+
+        use_fused_walk = detect_walk_fits(H, W)
+
     ok_pl, cell_pl, tab_pl, ncand_pl = [], [], [], []
     for l in (1, 2, 3):
         def per_image(low, cur, high, blur, vhw=None):
+            if use_fused_walk:
+                from hesaff_tpu.ops.pallas_detect import \
+                    detect_walk_pallas
+
+                ok, cell, tab, nc = detect_walk_pallas(
+                    low, cur, high, blur, cfg.border,
+                    cfg.positive_threshold, cfg.negative_threshold,
+                    cfg.edge_score_threshold, cfg.max_subpixel_shift,
+                    cfg.point_safety_border, cfg.localize_iterations,
+                    cfg.final_shift_limit, cfg.final_threshold)
+                return ok, cell, tab, nc
             mask, allm = _level_maps(low, cur, high, blur, cfg,
                                      valid_hw=vhw)
             ok, cell = _walk_dense(allm, mask, cfg)

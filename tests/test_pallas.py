@@ -467,3 +467,52 @@ def test_detect_maps_pallas_matches_xla(request):
     for i in (1, 2, 3):   # x, y, s of accepted keypoints
         np.testing.assert_allclose(outs_p[i][both], outs_x[i][both],
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_detect_walk_pallas_matches_xla_dense():
+    """Fully-fused detect kernel (NMS + maps + packed walk, interpret)
+    must reproduce the XLA dense-walk pipeline bit-for-bit: same ok
+    plane, same final cells on accepted starts, same field table at
+    accepted cells (shared solve arithmetic, identical composition)."""
+    import jax
+
+    from hesaff_tpu import detect
+    from hesaff_tpu.config import HesaffConfig
+    from hesaff_tpu.ops.pallas_detect import detect_walk_pallas
+
+    cfg = HesaffConfig()
+    rng = np.random.RandomState(5)
+    H, W = 200, 240
+    mk = lambda: jnp.asarray(
+        _smooth_stacks(np.random.default_rng(rng.randint(1 << 30)),
+                       1, 1, H, W)[0, 0] * 40.0)
+    low, cur, high, blur = mk(), mk(), mk(), mk()
+
+    mask, allm = detect._level_maps(low, cur, high, blur, cfg)
+    ok_ref, cell_ref = detect._walk_dense(allm, mask, cfg)
+    lxx_ref = (detect._shift_rep(np.asarray(blur), 0, -1)
+               - 2.0 * np.asarray(blur)
+               + detect._shift_rep(np.asarray(blur), 0, 1))
+
+    ok, cell, tab, nc = detect_walk_pallas(
+        low, cur, high, blur, cfg.border, cfg.positive_threshold,
+        cfg.negative_threshold, cfg.edge_score_threshold,
+        cfg.max_subpixel_shift, cfg.point_safety_border,
+        cfg.localize_iterations, cfg.final_shift_limit,
+        cfg.final_threshold, interpret=True)
+
+    ok_ref = np.asarray(ok_ref)
+    assert ok_ref.sum() > 20
+    np.testing.assert_array_equal(ok_ref, np.asarray(ok))
+    m = ok_ref
+    np.testing.assert_array_equal(np.asarray(cell_ref)[m],
+                                  np.asarray(cell)[m])
+    assert int(nc) == int(np.asarray(mask).sum())
+    # field table at the accepted cells matches the walk-pack channels
+    tab = np.asarray(tab)
+    allm = np.asarray(allm)
+    for ch, ref in ((0, allm[..., 0]), (1, allm[..., 1]),
+                    (2, allm[..., 2]), (3, allm[..., 3]),
+                    (4, np.asarray(lxx_ref))):
+        np.testing.assert_allclose(tab[..., ch][m], ref[m],
+                                   rtol=1e-6, atol=1e-5)
