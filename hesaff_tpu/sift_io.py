@@ -124,7 +124,7 @@ def load_image_gray(path: str) -> np.ndarray:
         out = native.decode_png_gray(data)
         if out is not None:
             return out
-        # unsupported PNG variant (16-bit / interlaced) -> PIL below
+        # unsupported PNG variant (interlaced) -> PIL below
     if magic == b"\xff\xd8":
         from hesaff_tpu import native
 

@@ -159,7 +159,9 @@ int64_t hesaff_read_sift(const char *path, double *geom, uint8_t *desc,
 // a dependency-free decoder over zlib: IDAT inflate + per-row filter
 // reconstruction (types 0-4), then the same equal-weight (R+G+B)/3
 // gray conversion (alpha ignored, as cv::imread's default BGR load).
-// 16-bit / interlaced files return -1 and callers fall back to PIL.
+// 16-bit samples take the high byte — identical to cv::imread's
+// default path (libpng png_set_strip_16).  Interlaced (Adam7) files
+// return -1 and callers fall back to PIL.
 
 #include <zlib.h>
 
@@ -177,7 +179,10 @@ extern "C" int hesaff_decode_png_gray(const uint8_t *data, int64_t size,
   const uint32_t w = be32(data + 16), h = be32(data + 20);
   const int bitdepth = data[24], color = data[25];
   const int comp = data[26], filt = data[27], inter = data[28];
-  if (bitdepth != 8 || comp != 0 || filt != 0 || inter != 0) return -1;
+  if ((bitdepth != 8 && bitdepth != 16) || comp != 0 || filt != 0 ||
+      inter != 0)
+    return -1;
+  if (bitdepth == 16 && color == 3) return -1;  // invalid per spec
   int ch;
   switch (color) {
     case 0: ch = 1; break;   // gray
@@ -216,7 +221,9 @@ extern "C" int hesaff_decode_png_gray(const uint8_t *data, int64_t size,
   }
   if (!idat || (color == 3 && !plte)) { free(idat); return -1; }
 
-  const int64_t stride = (int64_t)w * ch;
+  const int bytes = bitdepth / 8;
+  const int bpp = ch * bytes;  // PNG filters operate bytewise on bpp
+  const int64_t stride = (int64_t)w * bpp;
   const int64_t rawsz = (stride + 1) * h;
   uint8_t *raw = (uint8_t *)malloc(rawsz);
   if (!raw) { free(idat); return -1; }
@@ -232,9 +239,9 @@ extern "C" int hesaff_decode_png_gray(const uint8_t *data, int64_t size,
     const uint8_t *up = r ? raw + (int64_t)(r - 1) * (stride + 1) + 1
                           : nullptr;
     for (int64_t i = 0; i < stride; i++) {
-      const int a = i >= ch ? cur[i - ch] : 0;
+      const int a = i >= bpp ? cur[i - bpp] : 0;
       const int b = up ? up[i] : 0;
-      const int c = (up && i >= ch) ? up[i - ch] : 0;
+      const int c = (up && i >= bpp) ? up[i - bpp] : 0;
       int x = cur[i];
       switch (f) {
         case 0: break;
@@ -253,8 +260,10 @@ extern "C" int hesaff_decode_png_gray(const uint8_t *data, int64_t size,
     }
     float *orow = out + (int64_t)r * w;
     for (uint32_t cx = 0; cx < w; cx++) {
-      const uint8_t *px = cur + (int64_t)cx * ch;
+      const uint8_t *px = cur + (int64_t)cx * bpp;
       float v;
+      // 16-bit: sample value = high byte (big-endian first byte) —
+      // cv::imread's strip-16 conversion
       if (color == 0 || color == 4) {
         v = px[0];
       } else if (color == 3) {
@@ -262,7 +271,7 @@ extern "C" int hesaff_decode_png_gray(const uint8_t *data, int64_t size,
         const uint8_t *pp = plte + 3 * px[0];
         v = ((float)pp[0] + pp[1] + pp[2]) / 3.0f;
       } else {
-        v = ((float)px[0] + px[1] + px[2]) / 3.0f;
+        v = ((float)px[0] + px[bytes] + px[2 * bytes]) / 3.0f;
       }
       orow[cx] = v;
     }

@@ -30,13 +30,18 @@ def test_native_png_matches_pil(tmp_path, mode):
     np.testing.assert_allclose(load_image_gray(path), ref, atol=1e-4)
 
 
-def test_native_png_rejects_16bit(tmp_path):
+def test_native_png_decodes_16bit(tmp_path):
+    """16-bit PNG now decodes natively (strip-16 high byte, the
+    cv::imread semantics); load_image_gray agrees either way."""
     arr16 = np.full((8, 8), 1000, np.uint16)
     path = str(tmp_path / "img16.png")
     PIL.fromarray(arr16).save(path)
     with open(path, "rb") as f:
-        assert native.decode_png_gray(f.read()) is None  # -> PIL fallback
-    out = load_image_gray(path)       # PIL path still decodes it
+        dec = native.decode_png_gray(f.read())
+    if dec is not None:
+        np.testing.assert_array_equal(
+            dec, (arr16 >> 8).astype(np.float32))
+    out = load_image_gray(path)
     assert out.shape == (8, 8)
 
 
@@ -160,3 +165,45 @@ def test_prefetch_loader_order_parity_and_fallback(tmp_path):
         assert hw == ref_hw
         assert img.shape == ref.shape
         assert np.array_equal(img, ref)
+
+
+def test_native_png_16bit():
+    """16-bit PNGs decode natively with cv::imread's strip-16 semantics
+    (high byte), for gray and hand-crafted RGB; 8-bit path unchanged."""
+    import io
+    import struct
+    import zlib
+
+    from PIL import Image
+
+    from hesaff_tpu import native
+
+    rng = np.random.default_rng(3)
+    img16 = rng.integers(0, 65536, (33, 47), np.uint16)
+    buf = io.BytesIO()
+    Image.fromarray(img16.astype(np.int32), mode="I").convert(
+        "I;16").save(buf, format="PNG")
+    out = native.decode_png_gray(buf.getvalue())
+    if out is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    np.testing.assert_array_equal(out, (img16 >> 8).astype(np.float32))
+
+    # hand-crafted 16-bit RGB PNG (PIL cannot write RGB;16)
+    h, w = 9, 11
+    rgb = rng.integers(0, 65536, (h, w, 3), np.uint16)
+    raw = b"".join(
+        b"\x00" + rgb[r].astype(">u2").tobytes() for r in range(h))
+    def chunk(typ, payload):
+        c = struct.pack(">I", len(payload)) + typ + payload
+        return c + struct.pack(">I", zlib.crc32(typ + payload))
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2,
+                                        0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    out = native.decode_png_gray(png)
+    assert out is not None
+    hi = (rgb >> 8).astype(np.float32)
+    expect = (hi[..., 0] + hi[..., 1] + hi[..., 2]) / 3.0
+    np.testing.assert_allclose(out, expect, atol=1e-4)
