@@ -4,6 +4,7 @@ import os
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hesaff_tpu.ops.blur import gaussian_blur_traced, gaussian_taps
 from hesaff_tpu.ops.hessian import hessian_response
@@ -469,7 +470,8 @@ def test_detect_maps_pallas_matches_xla(request):
                                    rtol=1e-3, atol=1e-3)
 
 
-def test_detect_walk_pallas_matches_xla_dense():
+@pytest.mark.parametrize("H,W", [(200, 240), (61, 45)])
+def test_detect_walk_pallas_matches_xla_dense(H, W):
     """Fully-fused detect kernel (NMS + maps + packed walk, interpret)
     must reproduce the XLA dense-walk pipeline bit-for-bit: same ok
     plane, same final cells on accepted starts, same field table at
@@ -482,7 +484,6 @@ def test_detect_walk_pallas_matches_xla_dense():
 
     cfg = HesaffConfig()
     rng = np.random.RandomState(5)
-    H, W = 200, 240
     mk = lambda: jnp.asarray(
         _smooth_stacks(np.random.default_rng(rng.randint(1 << 30)),
                        1, 1, H, W)[0, 0] * 40.0)
@@ -502,7 +503,7 @@ def test_detect_walk_pallas_matches_xla_dense():
         cfg.final_threshold, interpret=True)
 
     ok_ref = np.asarray(ok_ref)
-    assert ok_ref.sum() > 20
+    assert ok_ref.sum() > (20 if H >= 100 else 0)
     np.testing.assert_array_equal(ok_ref, np.asarray(ok))
     m = ok_ref
     np.testing.assert_array_equal(np.asarray(cell_ref)[m],
