@@ -133,7 +133,7 @@ def load_image_gray(path: str) -> np.ndarray:
         out = native.decode_jpeg_gray(data)
         if out is not None:
             return out
-        # progressive / CMYK / 12-bit JPEG -> PIL below
+        # CMYK / 12-bit / arithmetic JPEG -> PIL below
     try:
         from PIL import Image  # optional: exotic formats (JPEG, TIFF...)
     except ImportError as e:  # pragma: no cover

@@ -3,10 +3,12 @@
 // The reference accepts anything cv::imread reads
 // (/root/reference/hesaff.cpp:137); fleets carry JPEG, so the native
 // loader decodes it without a Python round-trip.  Scope: baseline and
-// extended-sequential DCT (SOF0/SOF1), 8-bit, Huffman-coded, 1- or
+// extended-sequential DCT (SOF0/SOF1) and progressive DCT (SOF2,
+// spectral selection + successive approximation, interleaved DC and
+// single-component AC scans, EOB runs), 8-bit, Huffman-coded, 1- or
 // 3-component (gray / YCbCr), any sampling factors h,v in [1,4],
-// restart markers.  Progressive (SOF2), arithmetic coding, 12-bit,
-// and CMYK return -1 and callers fall back to PIL.
+// restart markers.  Arithmetic coding, 12-bit, and CMYK return -1 and
+// callers fall back to PIL.
 //
 // Gray output uses the same per-channel clamp + equal-weight
 // (R+G+B)/3 as the reference's BGR load + /3 conversion
@@ -194,6 +196,10 @@ struct Component {
   // plane at component resolution, padded to whole MCU blocks
   uint8_t *plane = nullptr;
   int64_t pw = 0, ph = 0;  // padded plane dims
+  // progressive: per-block coefficients in ZIGZAG order, accumulated
+  // across scans; IDCT'd once at EOI
+  int32_t *coefs = nullptr;
+  int64_t bw = 0, bh = 0;  // padded block-grid dims
 };
 
 struct Decoder {
@@ -207,9 +213,50 @@ struct Decoder {
   int W = 0, H = 0;
   int hmax = 1, vmax = 1;
   int restart_interval = 0;
+  bool progressive = false;
+  bool planes_alloc = false;
+  int scans_done = 0;
+  int eobrun = 0;
 
   ~Decoder() {
-    for (int c = 0; c < 3; c++) free(comp[c].plane);
+    for (int c = 0; c < 3; c++) {
+      free(comp[c].plane);
+      free(comp[c].coefs);
+    }
+  }
+
+  int alloc_planes(bool with_coefs) {
+    if (planes_alloc) return 0;
+    int64_t mcux = (W + hmax * 8 - 1) / (hmax * 8);
+    int64_t mcuy = (H + vmax * 8 - 1) / (vmax * 8);
+    for (int ci = 0; ci < ncomp; ci++) {
+      Component &c = comp[ci];
+      c.pw = mcux * c.h * 8;
+      c.ph = mcuy * c.v * 8;
+      c.bw = c.pw / 8;
+      c.bh = c.ph / 8;
+      c.plane = (uint8_t *)malloc(c.pw * c.ph);
+      if (!c.plane) return -1;
+      if (with_coefs) {
+        c.coefs = (int32_t *)calloc(c.bw * c.bh * 64, sizeof(int32_t));
+        if (!c.coefs) return -1;
+      }
+      c.dc_pred = 0;
+    }
+    planes_alloc = true;
+    return 0;
+  }
+
+  int64_t next_marker(int64_t from) {
+    // first real (non-stuffing, non-RST) marker at/after `from`
+    int64_t q = from;
+    while (q + 1 < size) {
+      if (data[q] == 0xFF && data[q + 1] != 0x00 &&
+          !(data[q + 1] >= 0xD0 && data[q + 1] <= 0xD7))
+        return q;
+      q++;
+    }
+    return size;
   }
 
   int u16(int64_t p) { return (data[p] << 8) | data[p + 1]; }
@@ -244,20 +291,197 @@ struct Decoder {
     return true;
   }
 
-  int decode_scan(int64_t p) {
-    // MCU geometry
-    int64_t mcux = (W + hmax * 8 - 1) / (hmax * 8);
-    int64_t mcuy = (H + vmax * 8 - 1) / (vmax * 8);
-    for (int ci = 0; ci < ncomp; ci++) {
-      Component &c = comp[ci];
-      c.pw = mcux * c.h * 8;
-      c.ph = mcuy * c.v * 8;
-      c.plane = (uint8_t *)malloc(c.pw * c.ph);
-      if (!c.plane) return -1;
-      c.dc_pred = 0;
+  // ---- progressive scan machinery (spec G.2; the standard EOB-run
+  // + successive-approximation algorithm) ----
+
+  int32_t *coef_of(Component &c, int64_t bx, int64_t by) {
+    return c.coefs + (by * c.bw + bx) * 64;
+  }
+
+  bool prog_dc(BitReader &br, Component &c, int64_t bx, int64_t by,
+               int Ah, int Al) {
+    int32_t *co = coef_of(c, bx, by);
+    if (Ah == 0) {                       // first pass
+      int t = hdc[c.td].decode(br);
+      if (t < 0 || t > 15) return false;
+      int diff = t ? extend(br.get_bits(t), t) : 0;
+      c.dc_pred += diff;
+      co[0] = c.dc_pred * (1 << Al);
+    } else {                             // refinement: one raw bit
+      if (br.get_bits(1)) co[0] |= (1 << Al);
     }
+    return true;
+  }
+
+  bool prog_ac_first(BitReader &br, Component &c, int64_t bx,
+                     int64_t by, int Ss, int Se, int Al) {
+    if (eobrun > 0) { eobrun--; return true; }
+    int32_t *co = coef_of(c, bx, by);
+    for (int k = Ss; k <= Se;) {
+      int rs = hac[c.ta].decode(br);
+      if (rs < 0) return false;
+      int r = rs >> 4, sbits = rs & 15;
+      if (sbits == 0) {
+        if (r == 15) { k += 16; continue; }          // ZRL
+        eobrun = (1 << r) - 1;
+        if (r) eobrun += br.get_bits(r);
+        break;                                        // EOBn
+      }
+      k += r;
+      if (k > Se || k > 63) return false;
+      co[k] = extend(br.get_bits(sbits), sbits) * (1 << Al);
+      k++;
+    }
+    return true;
+  }
+
+  bool prog_ac_refine(BitReader &br, Component &c, int64_t bx,
+                      int64_t by, int Ss, int Se, int Al) {
+    int32_t *co = coef_of(c, bx, by);
+    const int p1 = 1 << Al, m1 = -(1 << Al);
+    int k = Ss;
+    if (eobrun == 0) {
+      while (k <= Se) {
+        int rs = hac[c.ta].decode(br);
+        if (rs < 0) return false;
+        int r = rs >> 4, sbits = rs & 15;
+        int newval = 0;
+        if (sbits == 0) {
+          if (r != 15) {                 // EOBn: finish via correction
+            eobrun = (1 << r);
+            if (r) eobrun += br.get_bits(r);
+            break;
+          }
+          // ZRL: skip 16 zero-history coeffs (with corrections)
+        } else {
+          if (sbits != 1) return false;
+          newval = br.get_bits(1) ? p1 : m1;
+        }
+        while (k <= Se) {
+          int32_t &cc = co[k];
+          if (cc != 0) {
+            if (br.get_bits(1) && (cc & p1) == 0)
+              cc += (cc >= 0 ? p1 : m1);
+          } else {
+            if (r == 0) {
+              if (newval) cc = newval;
+              k++;
+              break;
+            }
+            r--;
+          }
+          k++;
+        }
+      }
+    }
+    if (eobrun > 0) {
+      for (; k <= Se; k++) {
+        int32_t &cc = co[k];
+        if (cc != 0 && br.get_bits(1) && (cc & p1) == 0)
+          cc += (cc >= 0 ? p1 : m1);
+      }
+      eobrun--;
+    }
+    return true;
+  }
+
+  // restart handling shared by both scan loops: expect RSTn at a
+  // marker boundary, reset predictors + EOB run
+  bool do_restart(BitReader &br, int &rst_count) {
+    int64_t q2 = br.pos;
+    while (q2 + 1 < size &&
+           !(data[q2] == 0xFF && data[q2 + 1] != 0x00))
+      q2++;
+    if (q2 + 1 >= size) return false;
+    uint8_t m = data[q2 + 1];
+    if (m < 0xD0 || m > 0xD7) return false;
+    if (m != 0xD0 + (rst_count & 7)) return false;
+    rst_count++;
+    br.reset_at(q2 + 2);
+    for (int ci = 0; ci < ncomp; ci++) comp[ci].dc_pred = 0;
+    eobrun = 0;
+    return true;
+  }
+
+  int decode_scan_progressive(int64_t p, int ns, const int *sc,
+                              int Ss, int Se, int Ah, int Al) {
     BitReader br{data, size, 0, 0, 0, false};
     br.reset_at(p);
+    eobrun = 0;
+    int rst_count = 0;
+    if (ns == 1) {
+      // non-interleaved: raster over the component's REAL block grid
+      Component &c = comp[sc[0]];
+      const int64_t cw = ((int64_t)W * c.h + hmax - 1) / hmax;
+      const int64_t chh = ((int64_t)H * c.v + vmax - 1) / vmax;
+      const int64_t nbx = (cw + 7) / 8, nby = (chh + 7) / 8;
+      int64_t blk = 0;
+      for (int64_t by = 0; by < nby; by++) {
+        for (int64_t bx = 0; bx < nbx; bx++, blk++) {
+          if (restart_interval && blk &&
+              (blk % restart_interval) == 0) {
+            if (!do_restart(br, rst_count)) return -1;
+          }
+          bool ok;
+          if (Ss == 0) {
+            ok = prog_dc(br, c, bx, by, Ah, Al);
+          } else if (Ah == 0) {
+            ok = prog_ac_first(br, c, bx, by, Ss, Se, Al);
+          } else {
+            ok = prog_ac_refine(br, c, bx, by, Ss, Se, Al);
+          }
+          if (!ok) return -1;
+        }
+      }
+      return 0;
+    }
+    // interleaved (DC scans only, per spec): MCU order
+    if (Ss != 0) return -1;
+    int64_t mcux = (W + hmax * 8 - 1) / (hmax * 8);
+    int64_t mcuy = (H + vmax * 8 - 1) / (vmax * 8);
+    int64_t mcu = 0, nmcu = mcux * mcuy;
+    while (mcu < nmcu) {
+      if (restart_interval && mcu && (mcu % restart_interval) == 0) {
+        if (!do_restart(br, rst_count)) return -1;
+      }
+      int64_t mx = mcu % mcux, my = mcu / mcux;
+      for (int si = 0; si < ns; si++) {
+        Component &c = comp[sc[si]];
+        for (int by = 0; by < c.v; by++)
+          for (int bx = 0; bx < c.h; bx++)
+            if (!prog_dc(br, c, mx * c.h + bx, my * c.v + by, Ah, Al))
+              return -1;
+      }
+      mcu++;
+    }
+    return 0;
+  }
+
+  int finish_progressive(float *out, int32_t *width, int32_t *height) {
+    for (int ci = 0; ci < ncomp; ci++) {
+      Component &c = comp[ci];
+      const uint16_t *q = qt[c.tq];
+      float coefn[64];
+      for (int64_t by = 0; by < c.bh; by++) {
+        for (int64_t bx = 0; bx < c.bw; bx++) {
+          const int32_t *co = coef_of(c, bx, by);
+          for (int k = 0; k < 64; k++) {
+            int zz = kZigzag[k];
+            coefn[zz] = (float)(co[k] * (int32_t)q[zz]);
+          }
+          idct8x8(coefn, c.plane + by * 8 * c.pw + bx * 8, (int)c.pw);
+        }
+      }
+    }
+    return emit(out, width, height);
+  }
+
+  int decode_scan(int64_t p) {
+    if (alloc_planes(false) != 0) return -1;
+    BitReader br{data, size, 0, 0, 0, false};
+    br.reset_at(p);
+    int64_t mcux = (W + hmax * 8 - 1) / (hmax * 8);
+    int64_t mcuy = (H + vmax * 8 - 1) / (vmax * 8);
     int64_t mcu = 0, nmcu = mcux * mcuy;
     int rst_count = 0;
     while (mcu < nmcu) {
@@ -297,12 +521,19 @@ struct Decoder {
       if (data[p] != 0xFF) return -1;
       uint8_t m = data[p + 1];
       if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7)) { p += 2; continue; }
-      if (m == 0xD9) break;  // EOI before SOS
+      if (m == 0xD9) {
+        // EOI: a progressive stream finishes here (dequant + IDCT of
+        // the accumulated coefficients); baseline means no SOS seen
+        if (progressive && scans_done > 0)
+          return finish_progressive(out, width, height);
+        break;
+      }
       int64_t len = u16(p + 2);
       if (p + 2 + len > size) return -1;
       int64_t q2 = p + 4;
       switch (m) {
-        case 0xC0: case 0xC1: {  // SOF0 / SOF1
+        case 0xC0: case 0xC1: case 0xC2: {  // SOF0 / SOF1 / SOF2
+          progressive = (m == 0xC2);
           if (data[q2] != 8) return -1;  // 8-bit only
           H = u16(q2 + 1);
           W = u16(q2 + 3);
@@ -324,9 +555,9 @@ struct Decoder {
           have_sof = true;
           break;
         }
-        case 0xC2: case 0xC3: case 0xC5: case 0xC6: case 0xC7:
+        case 0xC3: case 0xC5: case 0xC6: case 0xC7:
         case 0xC9: case 0xCA: case 0xCB: case 0xCD: case 0xCE: case 0xCF:
-          return -1;  // progressive / lossless / arithmetic: unsupported
+          return -1;  // lossless / arithmetic: unsupported
         case 0xC4: {  // DHT (possibly multiple tables)
           int64_t r = q2;
           while (r < p + 2 + len) {
@@ -362,7 +593,10 @@ struct Decoder {
         case 0xDA: {  // SOS
           if (!have_sof) return -1;
           int ns = data[q2];
-          if (ns != ncomp) return -1;  // single interleaved scan only
+          if (ns < 1 || ns > ncomp) return -1;
+          if (!progressive && ns != ncomp)
+            return -1;  // sequential: single interleaved scan only
+          int sc[4];
           for (int i = 0; i < ns; i++) {
             int cs = data[q2 + 1 + 2 * i];
             int tt = data[q2 + 2 + 2 * i];
@@ -370,24 +604,56 @@ struct Decoder {
             for (int c = 0; c < ncomp; c++)
               if (comp[c].id == cs) found = c;
             if (found < 0) return -1;
+            sc[i] = found;
             comp[found].td = tt >> 4;
             comp[found].ta = tt & 15;
             if (comp[found].td > 3 || comp[found].ta > 3) return -1;
-            if (!hdc[comp[found].td].present ||
-                !hac[comp[found].ta].present ||
-                !qt_present[comp[found].tq])
-              return -1;
+            if (!qt_present[comp[found].tq]) return -1;
           }
-          // Ss/Se/Ah/Al at q2+1+2*ns .. +3: baseline fixed 0/63/0/0
-          int rc = decode_scan(p + 2 + len);
+          int Ss = data[q2 + 1 + 2 * ns];
+          int Se = data[q2 + 2 + 2 * ns];
+          int Ah = data[q2 + 3 + 2 * ns] >> 4;
+          int Al = data[q2 + 3 + 2 * ns] & 15;
+          if (!progressive) {
+            for (int i = 0; i < ns; i++)
+              if (!hdc[comp[sc[i]].td].present ||
+                  !hac[comp[sc[i]].ta].present)
+                return -1;
+            int rc = decode_scan(p + 2 + len);
+            if (rc != 0) return rc;
+            return emit(out, width, height);
+          }
+          // progressive scan validation (spec G.1.1.1.1): DC scans
+          // have Ss=Se=0 (interleave allowed); AC scans are single-
+          // component with 1<=Ss<=Se<=63.  DC refinement reads raw
+          // bits (no table); AC scans need the AC table.
+          if (Ss == 0) {
+            if (Se != 0) return -1;
+            if (Ah == 0)
+              for (int i = 0; i < ns; i++)
+                if (!hdc[comp[sc[i]].td].present) return -1;
+          } else {
+            if (ns != 1 || Se < Ss || Se > 63) return -1;
+            if (!hac[comp[sc[0]].ta].present) return -1;
+          }
+          if (Ah > 13 || Al > 13) return -1;
+          if (alloc_planes(true) != 0) return -1;
+          int rc = decode_scan_progressive(p + 2 + len, ns, sc,
+                                           Ss, Se, Ah, Al);
           if (rc != 0) return rc;
-          return emit(out, width, height);
+          scans_done++;
+          p = next_marker(p + 2 + len);
+          continue;  // parse the next marker segment
         }
         default:
           break;  // APPn / COM / others: skip
       }
       p += 2 + len;
     }
+    // a progressive stream's trailing EOI can sit within the last 4
+    // bytes (the loop guard skips it) — finish here as well
+    if (progressive && scans_done > 0)
+      return finish_progressive(out, width, height);
     return -1;  // no SOS found
   }
 
@@ -518,7 +784,7 @@ extern "C" int hesaff_jpeg_dims(const uint8_t *data, int64_t size,
     if (m == 0xD9) return -1;
     int64_t len = ((int64_t)data[p + 2] << 8) | data[p + 3];
     if (p + 2 + len > size) return -1;
-    if (m == 0xC0 || m == 0xC1) {
+    if (m == 0xC0 || m == 0xC1 || m == 0xC2) {
       *height = (data[p + 5] << 8) | data[p + 6];
       *width = (data[p + 7] << 8) | data[p + 8];
       return (*width > 0 && *height > 0) ? 0 : -1;

@@ -45,13 +45,16 @@ def test_native_png_decodes_16bit(tmp_path):
     assert out.shape == (8, 8)
 
 
-@pytest.mark.parametrize("mode,sub,q", [
-    ("RGB", 0, 95),    # 4:4:4
-    ("RGB", 1, 75),    # 4:2:2
-    ("RGB", 2, 85),    # 4:2:0
-    ("L", 0, 90),      # grayscale
+@pytest.mark.parametrize("mode,sub,q,prog", [
+    ("RGB", 0, 95, False),   # 4:4:4 baseline
+    ("RGB", 1, 75, False),   # 4:2:2
+    ("RGB", 2, 85, False),   # 4:2:0
+    ("L", 0, 90, False),     # grayscale
+    ("RGB", 0, 90, True),    # progressive 4:4:4
+    ("RGB", 2, 75, True),    # progressive 4:2:0
+    ("L", 0, 85, True),      # progressive grayscale
 ])
-def test_native_jpeg_matches_pil(tmp_path, mode, sub, q):
+def test_native_jpeg_matches_pil(tmp_path, mode, sub, q, prog):
     """Native baseline JPEG decoder vs PIL/libjpeg: equal-weight gray
     within ~2 LSB (float IDCT + triangular chroma upsampling vs
     libjpeg's fixed-point pipeline; JPEG does not specify a bit-exact
@@ -64,7 +67,7 @@ def test_native_jpeg_matches_pil(tmp_path, mode, sub, q):
     a = np.clip(a, 0, 255).astype(np.uint8)
     im = PIL.fromarray(a if mode == "RGB" else a[..., 0], mode)
     path = str(tmp_path / f"img_{mode}_{sub}.jpg")
-    kw = {"quality": q}
+    kw = {"quality": q, "progressive": prog}
     if mode == "RGB":
         kw["subsampling"] = sub
     im.save(path, "JPEG", **kw)
@@ -78,24 +81,22 @@ def test_native_jpeg_matches_pil(tmp_path, mode, sub, q):
     np.testing.assert_array_equal(load_image_gray(path), nat)
 
 
-def test_native_jpeg_restart_and_progressive(tmp_path):
-    """Restart markers decode; progressive falls back to PIL (None)."""
+def test_native_jpeg_restart_markers(tmp_path):
+    """Restart markers decode in both baseline and progressive files."""
     rng = np.random.RandomState(12)
     a = np.clip(rng.normal(128, 40, (64, 80, 3)), 0, 255).astype(np.uint8)
     im = PIL.fromarray(a)
-    p1 = str(tmp_path / "rst.jpg")
-    im.save(p1, "JPEG", quality=80, restart_marker_blocks=2)
-    with open(p1, "rb") as f:
-        nat = native.decode_jpeg_gray(f.read())
-    assert nat is not None
-    ref = np.asarray(PIL.open(p1).convert("RGB"), np.float32).mean(-1)
-    assert np.abs(nat - ref).mean() < 0.5
-    p2 = str(tmp_path / "prog.jpg")
-    im.save(p2, "JPEG", quality=80, progressive=True)
-    with open(p2, "rb") as f:
-        assert native.decode_jpeg_gray(f.read()) is None
-    out = load_image_gray(p2)      # PIL fallback still decodes
-    assert out.shape == (64, 80)
+    for name, kw in (("rst.jpg", {"restart_marker_blocks": 2}),
+                     ("rstp.jpg", {"restart_marker_blocks": 2,
+                                   "progressive": True})):
+        p1 = str(tmp_path / name)
+        im.save(p1, "JPEG", quality=80, **kw)
+        with open(p1, "rb") as f:
+            nat = native.decode_jpeg_gray(f.read())
+        assert nat is not None, name
+        ref = np.asarray(PIL.open(p1).convert("RGB"),
+                         np.float32).mean(-1)
+        assert np.abs(nat - ref).mean() < 0.5, name
 
 
 def test_prefetch_loader_decodes_jpeg(tmp_path):
