@@ -7,4 +7,9 @@ run "T: PATCH_ROWS=8" HESAFF_PATCH_ROWS=8
 run "O2: PATCH_KB=16" HESAFF_PATCH_KB=16
 echo "=== U: defaults full bench + verify ==="
 python bench.py 2>&1
-echo "=== MATRIX6 DONE ==="
+echo ""
+echo "=== V: batch 32 probe ==="
+python bench.py --no-verify --probe-compute --batch 32 2>&1
+echo "=== W: fast-mode probe (close-out) ==="
+python bench.py --no-verify --probe-compute --fast 2>&1
+echo "=== MATRIX6 FULLY DONE ==="
