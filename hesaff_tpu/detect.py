@@ -49,6 +49,12 @@ _DETECT_PALLAS = os.environ.get("HESAFF_DETECT_PALLAS", "1") == "1"
 # selects.
 _DETECT_DENSE = os.environ.get("HESAFF_DETECT_DENSE", "1") == "1"
 
+# run the dense walk INSIDE the fused Pallas detect kernel (one VMEM
+# pass; maps never round-trip through HBM for the composition); =0
+# keeps the XLA composition over the Pallas maps kernel's outputs
+_DETECT_FUSED_WALK = os.environ.get("HESAFF_DETECT_FUSED_WALK",
+                                    "1") == "1"
+
 HESSIAN_DARK = 0
 HESSIAN_BRIGHT = 1
 HESSIAN_SADDLE = 2
@@ -597,8 +603,8 @@ def detect_octave_batch_dense(resps, blurs, sig, pd: float,
     # fully-fused per-level kernel (NMS + maps + walk in one VMEM
     # pass) when available; valid_hw keeps the XLA walk (the traced
     # per-image scan tightening stays outside the kernel)
-    use_fused_walk = (_DETECT_PALLAS and cfg.use_pallas
-                      and valid_hw is None
+    use_fused_walk = (_DETECT_PALLAS and _DETECT_FUSED_WALK
+                      and cfg.use_pallas and valid_hw is None
                       and jax.default_backend() == "tpu")
     if use_fused_walk:
         from hesaff_tpu.ops.pallas_detect import detect_walk_fits

@@ -5,6 +5,7 @@ run() { echo "=== $1 ==="; shift; env "$@" python bench.py --no-verify --probe-c
 run "R2: defaults probe (fused walk + selection blend + mask fold)"
 run "T: PATCH_ROWS=8" HESAFF_PATCH_ROWS=8
 run "O2: PATCH_KB=16" HESAFF_PATCH_KB=16
+run "X: fused walk OFF (isolate)" HESAFF_DETECT_FUSED_WALK=0
 echo "=== U: defaults full bench + verify ==="
 python bench.py 2>&1
 echo ""
