@@ -601,10 +601,11 @@ def detect_octave_batch_dense(resps, blurs, sig, pd: float,
     acap = cfg.affine_capacity(H, W, octave)
 
     # fully-fused per-level kernel (NMS + maps + walk in one VMEM
-    # pass) when available; valid_hw keeps the XLA walk (the traced
-    # per-image scan tightening stays outside the kernel)
+    # pass) when available; a traced valid_hw tightening is a pure
+    # start-pixel property, so it ANDs onto the kernel's ok/cand
+    # planes outside (identical to the XLA path's mask AND order)
     use_fused_walk = (_DETECT_PALLAS and _DETECT_FUSED_WALK
-                      and cfg.use_pallas and valid_hw is None
+                      and cfg.use_pallas
                       and jax.default_backend() == "tpu")
     if use_fused_walk:
         from hesaff_tpu.ops.pallas_detect import detect_walk_fits
@@ -618,13 +619,20 @@ def detect_octave_batch_dense(resps, blurs, sig, pd: float,
                 from hesaff_tpu.ops.pallas_detect import \
                     detect_walk_pallas
 
-                ok, cell, tab, nc = detect_walk_pallas(
+                ok, cell, tab, cand = detect_walk_pallas(
                     low, cur, high, blur, cfg.border,
                     cfg.positive_threshold, cfg.negative_threshold,
                     cfg.edge_score_threshold, cfg.max_subpixel_shift,
                     cfg.point_safety_border, cfg.localize_iterations,
                     cfg.final_shift_limit, cfg.final_threshold)
-                return ok, cell, tab, nc
+                if vhw is not None:
+                    b = cfg.border
+                    rr = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+                    cc = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+                    lim = (rr < vhw[0] - b) & (cc < vhw[1] - b)
+                    ok = ok & lim
+                    cand = cand & lim
+                return ok, cell, tab, jnp.sum(cand.astype(jnp.int32))
             mask, allm = _level_maps(low, cur, high, blur, cfg,
                                      valid_hw=vhw)
             ok, cell = _walk_dense(allm, mask, cfg)

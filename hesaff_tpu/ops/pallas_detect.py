@@ -328,8 +328,10 @@ def detect_walk_pallas(low, cur, high, blur, border: int, pos_thr: float,
     """One detection level, fully walked in-kernel.
 
     Returns (ok (H, W) bool, cell (H, W) int32 final cells,
-    tab (H, W, 5) = [b0, b1, b2, val, lxx], n_cand () int32) — the
-    exact inputs detect.detect_octave_batch_dense's post stage needs.
+    tab (H, W, 5) = [b0, b1, b2, val, lxx], cand (H, W) bool) — the
+    exact inputs detect.detect_octave_batch_dense's post stage needs
+    (a traced valid_hw tightening ANDs onto ok/cand outside: the scan
+    restriction is a pure start-pixel property).
     """
     H, W = cur.shape
     Wp = _round_up(W, 128)
@@ -357,5 +359,4 @@ def detect_walk_pallas(low, cur, high, blur, border: int, pos_thr: float,
     )(*[pad(a) for a in (low, cur, high, blur) for _ in range(3)])
     okf, cell, b0, b1, b2, val, lxx, cand = [o[:H, :W] for o in outs]
     tab = jnp.stack([b0, b1, b2, val, lxx], axis=-1)
-    return (okf > 0.5, cell.astype(jnp.int32), tab,
-            jnp.sum(cand.astype(jnp.int32)))
+    return okf > 0.5, cell.astype(jnp.int32), tab, cand > 0.5

@@ -495,12 +495,13 @@ def test_detect_walk_pallas_matches_xla_dense(H, W):
                - 2.0 * np.asarray(blur)
                + detect._shift_rep(np.asarray(blur), 0, 1))
 
-    ok, cell, tab, nc = detect_walk_pallas(
+    ok, cell, tab, cand = detect_walk_pallas(
         low, cur, high, blur, cfg.border, cfg.positive_threshold,
         cfg.negative_threshold, cfg.edge_score_threshold,
         cfg.max_subpixel_shift, cfg.point_safety_border,
         cfg.localize_iterations, cfg.final_shift_limit,
         cfg.final_threshold, interpret=True)
+    nc = np.asarray(cand).sum()
 
     ok_ref = np.asarray(ok_ref)
     assert ok_ref.sum() > (20 if H >= 100 else 0)
