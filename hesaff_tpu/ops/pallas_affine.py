@@ -105,6 +105,25 @@ _USE_ROLL = os.environ.get("HESAFF_AFFINE_NO_ROLL", "0") != "1"
 # the loop sync — this attacks exactly that term.
 _TRANSPOSED = os.environ.get("HESAFF_AFFINE_T", "1") == "1"
 
+# Lane-layout gradients (transposed path only): the (361,1)->(19,19)
+# fold exists ONLY to feed the gradient stencils, but a neighbor
+# difference in the 19x19 grid is a +-1 / +-19 LANE shift of the (1, N)
+# sample row — so compute gx/gy directly on lanes (pad + slice shifts,
+# constant edge masks select the one-sided forms) and reduce the SMM
+# sums over the flattened mask row.  Drops both fold matmuls, the
+# val/AJ bf16 splits, and six sublane-dim concats from every Baumberg
+# iteration; arithmetic is the identical f32 subtraction chain
+# (affine.cpp:14-33), only the reduction order of the mask sums moves.
+_LANE_GRAD = os.environ.get("HESAFF_AFFINE_LANE_GRAD", "0") == "1"
+
+# Single double-width selection matmul (transposed path only): build
+# the x0 and x0+1 one-hot column selectors side by side in a
+# lane-aligned (XL, 2*NP) operand (NP = 384-padded sample count) so
+# each of the wh/wl passes issues ONE matmul instead of two — the
+# stage is op-issue-bound, so halving MXU issues in the serial chain
+# is the lever.  The q0/q1 halves come back as aligned lane slices.
+_XCAT = os.environ.get("HESAFF_AFFINE_XCAT", "0") == "1"
+
 # cross-grid-step DMA double buffering: prefetch the NEXT block's
 # windows (scalars via a +1-shifted BlockSpec view of src/rb/cb/act)
 # while computing the current block, hiding window-DMA latency behind
@@ -173,6 +192,18 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int,
                 jnp.int32, (WINY, N), 0).astype(jnp.float32)
             iota_x = jax.lax.broadcasted_iota(
                 jnp.int32, (XL, N), 0).astype(jnp.float32)
+            if _LANE_GRAD:
+                # loop-invariant grid-edge masks for the lane-layout
+                # gradient stencils (i==0 / i==G-1 / j==0 / j==G-1)
+                hf = jnp.float32(half)
+                ix_lo = i_col == -hf
+                ix_hi = i_col == hf
+                jx_lo = j_col == -hf
+                jx_hi = j_col == hf
+            if _XCAT:
+                NP = _round_up(N, 128)
+                iota_x2 = jax.lax.broadcasted_iota(
+                    jnp.int32, (XL, 2 * NP), 0).astype(jnp.float32)
         else:
             # constant (N, 1) columns: sample index p -> (j, i) in the
             # 19x19 affine grid (broadcast against the lane iotas)
@@ -296,25 +327,41 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int,
                         x0m = jnp.where(validf > 0, x0f - corig,
                                         jnp.float32(-1e6))
                         fx = wx - x0f                    # (1, N) exact
-                        X0 = jnp.where(iota_x == x0m, 1.0, 0.0
-                                       ).astype(jnp.bfloat16)
-                        X1 = jnp.where(iota_x == x0m + 1.0, 1.0, 0.0
-                                       ).astype(jnp.bfloat16)
-                        q0 = d(wh, X0) + d(wl, X0)       # (WINY, N)
-                        q1 = d(wh, X1) + d(wl, X1)
+                        if _XCAT:
+                            # both selectors in one lane-aligned
+                            # double-width operand: one matmul per
+                            # wh/wl pass instead of two
+                            fill = jnp.full((1, NP - N), -1e6,
+                                            jnp.float32)
+                            x0p = jnp.concatenate([x0m, fill], axis=1)
+                            x2 = jnp.concatenate([x0p, x0p + 1.0],
+                                                 axis=1)   # (1, 2NP)
+                            X01 = jnp.where(iota_x2 == x2, 1.0, 0.0
+                                            ).astype(jnp.bfloat16)
+                            q01 = d(wh, X01) + d(wl, X01)
+                            q0 = q01[:, :N]              # (WINY, N)
+                            q1 = q01[:, NP:NP + N]
+                        else:
+                            X0 = jnp.where(iota_x == x0m, 1.0, 0.0
+                                           ).astype(jnp.bfloat16)
+                            X1 = jnp.where(iota_x == x0m + 1.0, 1.0,
+                                           0.0).astype(jnp.bfloat16)
+                            q0 = d(wh, X0) + d(wl, X0)   # (WINY, N)
+                            q1 = d(wh, X1) + d(wl, X1)
                         q = q0 * (1.0 - fx) + q1 * fx
                         val = jnp.sum(Eyt * q, axis=0,
                                       keepdims=True)     # (1, N)
-                        # fold via LHS split: AJ is 0/1, so AJ*val_hi
-                        # is exactly bf16-valued; same 2-pass class as
-                        # dot_onehot_bf16x2
-                        vh = val.astype(jnp.bfloat16)
-                        vl = val - vh.astype(jnp.float32)
-                        ajh = (aj_ref[:] * vh.astype(jnp.float32)
-                               ).astype(jnp.bfloat16)
-                        ajl = (aj_ref[:] * vl).astype(jnp.bfloat16)
-                        bib = bi_ref[:].astype(jnp.bfloat16)
-                        img = d(ajh, bib) + d(ajl, bib)
+                        if not _LANE_GRAD:
+                            # fold via LHS split: AJ is 0/1, so
+                            # AJ*val_hi is exactly bf16-valued; same
+                            # 2-pass class as dot_onehot_bf16x2
+                            vh = val.astype(jnp.bfloat16)
+                            vl = val - vh.astype(jnp.float32)
+                            ajh = (aj_ref[:] * vh.astype(jnp.float32)
+                                   ).astype(jnp.bfloat16)
+                            ajl = (aj_ref[:] * vl).astype(jnp.bfloat16)
+                            bib = bi_ref[:].astype(jnp.bfloat16)
+                            img = d(ajh, bib) + d(ajl, bib)
                     else:
                         # hat-identity bilinear one-hots over lane iotas
                         Ey = jnp.maximum(
@@ -346,14 +393,32 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int,
 
                     # gradients: central diffs, one-sided at edges,
                     # NOT halved (affine.cpp:14-33)
-                    gx = jnp.concatenate(
-                        [img[:, 1:2] - img[:, 0:1],
-                         img[:, 2:] - img[:, :-2],
-                         img[:, -1:] - img[:, -2:-1]], axis=1)
-                    gy = jnp.concatenate(
-                        [img[1:2, :] - img[0:1, :],
-                         img[2:, :] - img[:-2, :],
-                         img[-1:, :] - img[-2:-1, :]], axis=0)
+                    if _TRANSPOSED and _LANE_GRAD:
+                        # neighbor diffs in the 19x19 grid are +-1 /
+                        # +-G lane shifts of the (1, N) row; the
+                        # one-sided edge forms never read a shifted-in
+                        # filler (selected away by the edge masks)
+                        z1 = jnp.zeros((1, 1), jnp.float32)
+                        zg = jnp.zeros((1, G), jnp.float32)
+                        vp1 = jnp.concatenate([val[:, 1:], z1], axis=1)
+                        vm1 = jnp.concatenate([z1, val[:, :-1]], axis=1)
+                        vpg = jnp.concatenate([val[:, G:], zg], axis=1)
+                        vmg = jnp.concatenate([zg, val[:, :-G]], axis=1)
+                        gx = jnp.where(
+                            ix_lo, vp1 - val,
+                            jnp.where(ix_hi, val - vm1, vp1 - vm1))
+                        gy = jnp.where(
+                            jx_lo, vpg - val,
+                            jnp.where(jx_hi, val - vmg, vpg - vmg))
+                    else:
+                        gx = jnp.concatenate(
+                            [img[:, 1:2] - img[:, 0:1],
+                             img[:, 2:] - img[:, :-2],
+                             img[:, -1:] - img[:, -2:-1]], axis=1)
+                        gy = jnp.concatenate(
+                            [img[1:2, :] - img[0:1, :],
+                             img[2:, :] - img[:-2, :],
+                             img[-1:, :] - img[-2:-1, :]], axis=0)
                     msk = mask_ref[:]
                     sum11 = lambda z: jnp.sum(z, axis=(0, 1),
                                               keepdims=True)
@@ -440,6 +505,9 @@ def _call_kernel(stack, src, rb, cb, act, lx, ly, ratio, win, H, W,
     aj, bi = _grid_constants(G)
     from hesaff_tpu.ops import masks
     msk = jnp.asarray(masks.smm_gauss_mask(G))
+    if _TRANSPOSED and _LANE_GRAD:
+        # lane-layout gradient path reduces over the flattened mask row
+        msk = msk.reshape(1, G * G)
     WINY, WINX = aligned_window(win)
     # double-buffered prefetch only where the doubled window scratch
     # fits the measured scoped-VMEM budget (an HESAFF_AFFINE_KB raise
