@@ -166,6 +166,46 @@ def test_pallas_affine_dma_pipeline_matches_xla():
         jax.clear_caches()
 
 
+@pytest.mark.parametrize("lane_grad,xcat", [
+    (True, False), (True, True), (False, True), (False, False)])
+def test_pallas_affine_lane_grad_xcat_variants(lane_grad, xcat):
+    """Lane-layout gradients (HESAFF_AFFINE_LANE_GRAD) and the
+    double-width selection matmul (HESAFF_AFFINE_XCAT) match the XLA
+    path in every combination — keeps both code paths covered
+    whichever default wins the on-chip A/B."""
+    import jax
+
+    from hesaff_tpu.affine_shape import adapt_flat
+    from hesaff_tpu.config import HesaffConfig
+    from hesaff_tpu.ops import pallas_affine as pa
+
+    cfg = HesaffConfig()
+    rng = np.random.default_rng(11)
+    B, L, H, W = 2, 2, 200, 160
+    stacks = jnp.asarray(_smooth_stacks(rng, B, L, H, W))
+    K = 40
+    img_idx = jnp.asarray(rng.integers(0, B, K), np.int32)
+    src = jnp.asarray(rng.integers(0, L, K), np.int32)
+    x = jnp.asarray(rng.uniform(20, W - 20, K), jnp.float32)
+    y = jnp.asarray(rng.uniform(20, H - 20, K), jnp.float32)
+    s = jnp.asarray(rng.uniform(2.0, 5.0, K), jnp.float32)
+    active = jnp.asarray(rng.uniform(size=K) > 0.2)
+    ref = adapt_flat(stacks, img_idx, src, x, y, s, 1.0, cfg,
+                     active=active)
+
+    saved = (pa._LANE_GRAD, pa._XCAT)
+    try:
+        pa._LANE_GRAD, pa._XCAT = lane_grad, xcat
+        jax.clear_caches()
+        out = pa.adapt_flat_pallas(stacks, img_idx, src, x, y, s,
+                                   1.0, cfg, active=active,
+                                   interpret=True)
+        _assert_affine_parity(ref, out, active)
+    finally:
+        pa._LANE_GRAD, pa._XCAT = saved
+        jax.clear_caches()
+
+
 def test_pallas_affine_rolled_origin_cap():
     """Corner case of the lane-rolled window: an image whose padded
     width equals the DMA superset width (Wp == WINX) forces the aligned
