@@ -114,15 +114,13 @@ _TRANSPOSED = os.environ.get("HESAFF_AFFINE_T", "1") == "1"
 # val/AJ bf16 splits, and six sublane-dim concats from every Baumberg
 # iteration; arithmetic is the identical f32 subtraction chain
 # (affine.cpp:14-33), only the reduction order of the mask sums moves.
-_LANE_GRAD = os.environ.get("HESAFF_AFFINE_LANE_GRAD", "0") == "1"
-
-# Single double-width selection matmul (transposed path only): build
-# the x0 and x0+1 one-hot column selectors side by side in a
-# lane-aligned (XL, 2*NP) operand (NP = 384-padded sample count) so
-# each of the wh/wl passes issues ONE matmul instead of two — the
-# stage is op-issue-bound, so halving MXU issues in the serial chain
-# is the lever.  The q0/q1 halves come back as aligned lane slices.
-_XCAT = os.environ.get("HESAFF_AFFINE_XCAT", "0") == "1"
+# Default ON: on-chip A/B measured 86.1k vs 78-80k desc/s compute probe
+# (+8%, tools/sweeps/r5_matrix7.log).
+# (A double-width selection-matmul variant — both x0/x0+1 one-hot
+# selectors in one lane-aligned (XL, 2*NP) operand, halving MXU issues
+# — was built and measured on top of this: 85.7k vs 86.1k, no gain
+# over lane-grad alone; deleted per the sweep record.)
+_LANE_GRAD = os.environ.get("HESAFF_AFFINE_LANE_GRAD", "1") == "1"
 
 # cross-grid-step DMA double buffering: prefetch the NEXT block's
 # windows (scalars via a +1-shifted BlockSpec view of src/rb/cb/act)
@@ -200,10 +198,6 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int,
                 ix_hi = i_col == hf
                 jx_lo = j_col == -hf
                 jx_hi = j_col == hf
-            if _XCAT:
-                NP = _round_up(N, 128)
-                iota_x2 = jax.lax.broadcasted_iota(
-                    jnp.int32, (XL, 2 * NP), 0).astype(jnp.float32)
         else:
             # constant (N, 1) columns: sample index p -> (j, i) in the
             # 19x19 affine grid (broadcast against the lane iotas)
@@ -327,27 +321,12 @@ def _make_kernel(WIN: int, H: int, W: int, cfg: HesaffConfig, KB: int,
                         x0m = jnp.where(validf > 0, x0f - corig,
                                         jnp.float32(-1e6))
                         fx = wx - x0f                    # (1, N) exact
-                        if _XCAT:
-                            # both selectors in one lane-aligned
-                            # double-width operand: one matmul per
-                            # wh/wl pass instead of two
-                            fill = jnp.full((1, NP - N), -1e6,
-                                            jnp.float32)
-                            x0p = jnp.concatenate([x0m, fill], axis=1)
-                            x2 = jnp.concatenate([x0p, x0p + 1.0],
-                                                 axis=1)   # (1, 2NP)
-                            X01 = jnp.where(iota_x2 == x2, 1.0, 0.0
-                                            ).astype(jnp.bfloat16)
-                            q01 = d(wh, X01) + d(wl, X01)
-                            q0 = q01[:, :N]              # (WINY, N)
-                            q1 = q01[:, NP:NP + N]
-                        else:
-                            X0 = jnp.where(iota_x == x0m, 1.0, 0.0
-                                           ).astype(jnp.bfloat16)
-                            X1 = jnp.where(iota_x == x0m + 1.0, 1.0,
-                                           0.0).astype(jnp.bfloat16)
-                            q0 = d(wh, X0) + d(wl, X0)   # (WINY, N)
-                            q1 = d(wh, X1) + d(wl, X1)
+                        X0 = jnp.where(iota_x == x0m, 1.0, 0.0
+                                       ).astype(jnp.bfloat16)
+                        X1 = jnp.where(iota_x == x0m + 1.0, 1.0, 0.0
+                                       ).astype(jnp.bfloat16)
+                        q0 = d(wh, X0) + d(wl, X0)       # (WINY, N)
+                        q1 = d(wh, X1) + d(wl, X1)
                         q = q0 * (1.0 - fx) + q1 * fx
                         val = jnp.sum(Eyt * q, axis=0,
                                       keepdims=True)     # (1, N)

@@ -166,13 +166,11 @@ def test_pallas_affine_dma_pipeline_matches_xla():
         jax.clear_caches()
 
 
-@pytest.mark.parametrize("lane_grad,xcat", [
-    (True, False), (True, True), (False, True), (False, False)])
-def test_pallas_affine_lane_grad_xcat_variants(lane_grad, xcat):
-    """Lane-layout gradients (HESAFF_AFFINE_LANE_GRAD) and the
-    double-width selection matmul (HESAFF_AFFINE_XCAT) match the XLA
-    path in every combination — keeps both code paths covered
-    whichever default wins the on-chip A/B."""
+@pytest.mark.parametrize("lane_grad", [True, False])
+def test_pallas_affine_lane_grad_variants(lane_grad):
+    """Lane-layout gradients (HESAFF_AFFINE_LANE_GRAD, default ON) and
+    the legacy fold path both match the XLA twin — keeps the off-path
+    covered while the default rides the on-chip A/B winner."""
     import jax
 
     from hesaff_tpu.affine_shape import adapt_flat
@@ -193,16 +191,16 @@ def test_pallas_affine_lane_grad_xcat_variants(lane_grad, xcat):
     ref = adapt_flat(stacks, img_idx, src, x, y, s, 1.0, cfg,
                      active=active)
 
-    saved = (pa._LANE_GRAD, pa._XCAT)
+    saved = pa._LANE_GRAD
     try:
-        pa._LANE_GRAD, pa._XCAT = lane_grad, xcat
+        pa._LANE_GRAD = lane_grad
         jax.clear_caches()
         out = pa.adapt_flat_pallas(stacks, img_idx, src, x, y, s,
                                    1.0, cfg, active=active,
                                    interpret=True)
         _assert_affine_parity(ref, out, active)
     finally:
-        pa._LANE_GRAD, pa._XCAT = saved
+        pa._LANE_GRAD = saved
         jax.clear_caches()
 
 
